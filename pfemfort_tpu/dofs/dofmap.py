@@ -1,0 +1,89 @@
+"""DOF management: reduced-system numbering with Dirichlet elimination.
+
+Vectorized re-design of the reference's per-driver L3 layer
+(/root/reference/src/triapoissonserialimpl1.F:320-394):
+  * node_type[n,d]   : 0 = free, 1 = Dirichlet          ("NodeType")
+  * node_dof[n,d]    : 0-based equation id or -1        ("NodeDofArray"-1)
+  * elem_dof[e,i*ndof+d] : equation ids per element slot, -1 on BC dofs
+                                                        ("ElemDofArray")
+  * assy_for_soln[q] : global node-dof index of eq q    ("assyForSoln"-1)
+  * bc_values_full   : applied Dirichlet value per global node-dof (0 on free
+                       dofs) — the "solnApplied" array.
+
+Equation numbering is row-major over (node, dof) counting free dofs only,
+identical to the reference loop (triapoissonserialimpl1.F:340-350), so both
+produce the same linear system ordering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pfemfort_tpu.mesh.core import Mesh
+
+
+@dataclasses.dataclass
+class DofMap:
+    ndof: int
+    node_type: np.ndarray       # (n_node, ndof) uint8
+    node_dof: np.ndarray        # (n_node, ndof) int32, -1 for BC dofs
+    elem_dof: np.ndarray        # (n_elem, npe*ndof) int32, -1 for BC dofs
+    elem_nodedof: np.ndarray    # (n_elem, npe*ndof) int32 global node-dof ids
+    assy_for_soln: np.ndarray   # (total_dof,) int32 global node-dof ids
+    bc_values_full: np.ndarray  # (n_node*ndof,) float64 applied values
+    total_dof: int
+
+    @property
+    def n_node(self) -> int:
+        return self.node_type.shape[0]
+
+    def free_mask_full(self) -> np.ndarray:
+        """(n_node*ndof,) bool: True on free dofs."""
+        return (self.node_type.reshape(-1) == 0)
+
+    def expand_solution(self, u_reduced: np.ndarray) -> np.ndarray:
+        """Merge reduced solution with applied BC values -> (n_node*ndof,).
+
+        Mirrors the drivers' solnVTK scatter
+        (triapoissonserialimpl1.F:730-744).
+        """
+        full = self.bc_values_full.copy()
+        full[self.assy_for_soln] = np.asarray(u_reduced, dtype=np.float64)
+        return full
+
+
+def build_dofmap(mesh: Mesh, ndof: int, dirichlet: np.ndarray) -> DofMap:
+    """Build the DOF map from a mesh and (node, dof, value) Dirichlet rows."""
+    n_node = mesh.n_node
+    node_type = np.zeros((n_node, ndof), dtype=np.uint8)
+    bc_values = np.zeros(n_node * ndof, dtype=np.float64)
+    if dirichlet is not None and len(dirichlet):
+        nn = dirichlet[:, 0].astype(np.int64)
+        dd = dirichlet[:, 1].astype(np.int64)
+        node_type[nn, dd] = 1
+        bc_values[nn * ndof + dd] = dirichlet[:, 2]
+
+    free = (node_type.reshape(-1) == 0)
+    node_dof = np.full(n_node * ndof, -1, dtype=np.int32)
+    node_dof[free] = np.arange(free.sum(), dtype=np.int32)
+    total_dof = int(free.sum())
+    assy_for_soln = np.nonzero(free)[0].astype(np.int32)
+
+    # elem_nodedof[e, i*ndof+d] = conn[e,i]*ndof + d
+    conn = mesh.conn.astype(np.int64)
+    elem_nodedof = (conn[:, :, None] * ndof
+                    + np.arange(ndof)[None, None, :]).reshape(mesh.n_elem, -1)
+    elem_dof = node_dof[elem_nodedof]
+
+    return DofMap(
+        ndof=ndof,
+        node_type=node_type,
+        node_dof=node_dof.reshape(n_node, ndof),
+        elem_dof=elem_dof.astype(np.int32),
+        elem_nodedof=elem_nodedof.astype(np.int32),
+        assy_for_soln=assy_for_soln,
+        bc_values_full=bc_values,
+        total_dof=total_dof,
+    )

