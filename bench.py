@@ -33,6 +33,7 @@ def main():
     from pfemfort_tpu.elements.poisson import poisson_element_matrices
     from pfemfort_tpu.mesh import generate
     from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
+    from pfemfort_tpu.sparse.dia import dia_diagonal, ell_to_dia, spmv_dia
     from pfemfort_tpu.sparse.spmv import extract_diagonal, spmv_ell
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 72
@@ -65,14 +66,24 @@ def main():
     t_asm = (time.perf_counter() - t0) / reps_a
     elems_per_s = mesh.n_elem / t_asm
 
-    # --- SpMV throughput ---
+    # --- SpMV throughput (DIA fast path when the pattern qualifies) ---
     nnz = pattern.nnz
     x = jnp.ones((dofmap.total_dof,), dtype=dtype)
+    use_dia = pattern.dia is not None
+
+    def make_op(A_vals):
+        if use_dia:
+            Ad = ell_to_dia(pattern.dia, A_vals)
+            return (lambda v: spmv_dia(Ad, v)), dia_diagonal(Ad)
+        Am = A._replace(vals=A_vals)
+        return (lambda v: spmv_ell(Am, v)), extract_diagonal(Am)
 
     @jax.jit
     def spmv_chain(A_vals, x, iters=50):
+        op, _ = make_op(A_vals)
+
         def body(i, x):
-            y = spmv_ell(A._replace(vals=A_vals), x)
+            y = op(x)
             return y / (jnp.max(jnp.abs(y)) + 1e-30)
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -86,12 +97,10 @@ def main():
     nnz_per_s = nnz / t_spmv
 
     # --- full CG solve ---
-    diag = extract_diagonal(A)
-
     @jax.jit
     def solve(A_vals, b):
-        Am = A._replace(vals=A_vals)
-        return cg_solve(lambda v: spmv_ell(Am, v), b,
+        op, diag = make_op(A_vals)
+        return cg_solve(op, b,
                         precond=jacobi_preconditioner(diag),
                         rtol=1e-6, maxiter=2000)
     u, stats = jax.block_until_ready(solve(A.vals, b))
@@ -109,6 +118,8 @@ def main():
             "n_dof": int(dofmap.total_dof),
             "nnz": int(nnz),
             "ell_k": int(pattern.ell_k),
+            "spmv_format": "dia" if use_dia else "ell",
+            "dia_offsets": len(pattern.dia.offsets) if use_dia else 0,
             "assembly_elems_per_s": float(elems_per_s),
             "assembly_s": float(t_asm),
             "spmv_s": float(t_spmv),

@@ -16,10 +16,11 @@ sentinel segment, exactly like PETSc's VEC_IGNORE_NEGATIVE_INDICES trick
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
+from pfemfort_tpu.sparse.dia import DIAPlan, build_dia_plan
 from pfemfort_tpu.sparse.formats import ELLMatrix, round_up
 
 
@@ -41,6 +42,8 @@ class AssemblyPattern:
     rhs_perm: np.ndarray
     rhs_segids: np.ndarray
     rhs_nsegs: int            # n_rows + 1
+    # Optional diagonal-offset structure (TPU fast path; sparse/dia.py)
+    dia: Optional[DIAPlan] = None
 
 
 def _csr_from_elem_dof(elem_dof: np.ndarray, n_rows: int):
@@ -99,6 +102,7 @@ def build_pattern(elem_dof: np.ndarray, n_rows: int,
     rhs_segids = rdest[rhs_perm]
 
     idx_dtype = np.int32 if E * ns * ns < 2**31 else np.int64
+    dia = build_dia_plan(indptr, indices, ell_k)
     return AssemblyPattern(
         n_rows=n_rows,
         nnz=nnz,
@@ -112,4 +116,5 @@ def build_pattern(elem_dof: np.ndarray, n_rows: int,
         rhs_perm=rhs_perm.astype(idx_dtype),
         rhs_segids=rhs_segids.astype(np.int32 if n_rows < 2**31 else np.int64),
         rhs_nsegs=n_rows + 1,
+        dia=dia,
     )

@@ -29,6 +29,7 @@ from pfemfort_tpu.solve.cg import (
     cg_solve,
     jacobi_preconditioner,
 )
+from pfemfort_tpu.sparse.dia import dia_diagonal, ell_to_dia, spmv_dia
 from pfemfort_tpu.sparse.spmv import extract_diagonal, spmv_ell
 
 
@@ -85,15 +86,24 @@ def solve_implicit(
         maxiter = max(10 * dofmap.total_dof, 1000)
     solver = cg_solve if method == "cg" else bicgstab_solve
 
+    use_dia = pattern.dia is not None
+
     @jax.jit
     def assemble_and_solve(coords_e, ubc_e, fvec):
         Ke, Fe_src = element_fn(coords_e)
         A = assemble_ell_values(Ke, pattern, ell_cols)
         Fe = Fe_src + dirichlet_rhs_correction(Ke, ubc_e)
         b = assemble_rhs(Fe, pattern) + fvec
-        diag = extract_diagonal(A)
+        if use_dia:
+            # Lattice-structured pattern: gather-free diagonal SpMV
+            Ad = ell_to_dia(pattern.dia, A.vals)
+            operator = lambda x: spmv_dia(Ad, x)
+            diag = dia_diagonal(Ad)
+        else:
+            operator = lambda x: spmv_ell(A, x)
+            diag = extract_diagonal(A)
         u, stats = solver(
-            lambda x: spmv_ell(A, x),
+            operator,
             b,
             precond=jacobi_preconditioner(diag),
             rtol=rtol,
