@@ -86,20 +86,24 @@ def greedy_graph_partition(indptr: np.ndarray, adj: np.ndarray,
     n = len(indptr) - 1
     target = (n + n_parts - 1) // n_parts
     part = np.full(n, -1, dtype=np.int32)
-    unvisited = set(range(n))
-    import heapq
+    from collections import deque
+    seed_scan = 0
     for p in range(n_parts):
-        if not unvisited:
-            break
-        seed = min(unvisited)
-        frontier = [seed]
+        frontier = deque()
         size = 0
-        while frontier and size < target:
-            e = frontier.pop()
+        # Reseed when the frontier dries up so parts stay balanced even
+        # across disconnected pockets.
+        while size < target:
+            if not frontier:
+                while seed_scan < n and part[seed_scan] != -1:
+                    seed_scan += 1
+                if seed_scan >= n:
+                    break
+                frontier.append(seed_scan)
+            e = frontier.popleft()
             if part[e] != -1:
                 continue
             part[e] = p
-            unvisited.discard(e)
             size += 1
             for nb in adj[indptr[e]:indptr[e + 1]]:
                 if part[nb] == -1:
@@ -113,8 +117,16 @@ def partition_elements(mesh: Mesh, n_parts: int,
                        method: str = "rcb") -> np.ndarray:
     if n_parts <= 1:
         return np.zeros(mesh.n_elem, dtype=np.int32)
+    from pfemfort_tpu import native
     if method == "rcb":
+        if native.available():
+            return native.rcb_partition(mesh.elem_centroids(), n_parts)
         return rcb_partition(mesh.elem_centroids(), n_parts)
+    if native.available():
+        ncommon = {"tria3": 2, "tria6": 2, "quad4": 2,
+                   "tetra4": 3, "prism6": 3, "hexa8": 4}[mesh.etype]
+        return native.greedy_partition(mesh.conn, mesh.n_node, ncommon,
+                                       n_parts)
     indptr, adj = dual_graph(mesh)
     return greedy_graph_partition(indptr, adj, n_parts)
 

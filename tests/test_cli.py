@@ -1,0 +1,82 @@
+"""CLI driver tests (subprocess-free: call main() in-process on CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pfemfort_tpu.drivers.cli import main
+
+
+@pytest.fixture()
+def tet_prefix(tmp_path):
+    rc = main(["genmesh", "tet", "0", "1", "3", "0", "1", "3",
+               "0", "1", "3", "-o", str(tmp_path / "box")])
+    assert rc == 0
+    return str(tmp_path / "box")
+
+
+def test_genmesh_and_poisson_roundtrip(tet_prefix, tmp_path, capsys):
+    out = str(tmp_path / "soln.vtk")
+    rc = main(["poisson", tet_prefix + "-nodes.dat", tet_prefix + "-elems.dat",
+               tet_prefix + "-DirichBC.dat", "-o", out])
+    assert rc == 0
+    cap = capsys.readouterr().out
+    assert "Convergence in" in cap
+    assert os.path.exists(out)
+
+
+def test_cli_tria_poisson(tmp_path, capsys):
+    rc = main(["genmesh", "tria", "0", "1", "4", "0", "1", "4",
+               "-o", str(tmp_path / "sq")])
+    assert rc == 0
+    # tria genmesh writes no DirichBC -> make one (all-boundary zeros)
+    from pfemfort_tpu.mesh import generate, io as mesh_io
+    mesh = mesh_io.read_mesh(str(tmp_path / "sq-nodes.dat"),
+                             str(tmp_path / "sq-elems.dat"))
+    b = generate.boundary_nodes(mesh)
+    np.savetxt(str(tmp_path / "sq-DirichBC.dat"),
+               np.stack([b + 1, np.ones(len(b)), np.zeros(len(b))], 1))
+    rc = main(["poisson", str(tmp_path / "sq-nodes.dat"),
+               str(tmp_path / "sq-elems.dat"),
+               str(tmp_path / "sq-DirichBC.dat"),
+               "--source", "1.0"])
+    assert rc == 0
+
+
+def test_cli_elasticity_reference_mesh(capsys):
+    ref = "/root/reference/input/cookmembranetria32"
+    if not os.path.exists(ref + "-nodes.dat.gz"):
+        pytest.skip("reference mesh missing")
+    rc = main(["elasticity", ref + "-nodes.dat", ref + "-elems.dat",
+               ref + "-DirichBC.dat", ref + "-ForceBC.dat"])
+    assert rc == 0
+    assert "Convergence in" in capsys.readouterr().out
+
+
+def test_cli_explicit_preset(tmp_path, capsys):
+    from pfemfort_tpu.mesh import generate, io as mesh_io
+    mesh = generate.rect_tria(0, 1, 3, 0, 1, 2)
+    left = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
+    dbc = np.array([[n, d, 0.0] for n in left for d in (0, 1)])
+    mesh_io.write_dat(str(tmp_path / "m"), mesh, dirichlet=dbc)
+    rc = main(["explicit", str(tmp_path / "m-nodes.dat"),
+               str(tmp_path / "m-elems.dat"), str(tmp_path / "m-DirichBC.dat"),
+               "--preset", "tria", "--nsteps", "10",
+               "--probe", "2", "3",
+               "--probe-out", str(tmp_path / "probe.dat")])
+    assert rc == 0
+    probe = np.loadtxt(str(tmp_path / "probe.dat"))
+    assert probe.shape == (10, 5)
+
+
+def test_cli_partition_and_vtktovtu(tet_prefix, tmp_path, capsys):
+    out = str(tmp_path / "part.vtk")
+    rc = main(["partition", tet_prefix + "-nodes.dat",
+               tet_prefix + "-elems.dat", "--nparts", "4", "-o", out])
+    assert rc == 0
+    assert "into 4 parts" in capsys.readouterr().out
+    vtu = str(tmp_path / "part.vtu")
+    rc = main(["vtktovtu", out, vtu])
+    assert rc == 0
+    assert "<VTKFile" in open(vtu).read()
