@@ -66,8 +66,20 @@ def cmd_poisson(args):
 
     mesh, dbc, _ = _read(args)
     t0 = time.perf_counter()
-    res = solve_poisson(mesh, dbc, rtol=args.rtol, method=args.ksp,
-                        source=args.source)
+    if args.shards and args.shards > 1:
+        from pfemfort_tpu.drivers.sharded import solve_implicit_sharded
+        from pfemfort_tpu.elements.poisson import poisson_element_matrices
+
+        src = args.source
+        if src is None:
+            src = -6.0 if mesh.etype == "tetra4" else 0.0
+        res = solve_implicit_sharded(
+            mesh, 1, dbc,
+            lambda c: poisson_element_matrices(c, mesh.etype, source=src),
+            n_shards=args.shards, rtol=args.rtol)
+    else:
+        res = solve_poisson(mesh, dbc, rtol=args.rtol, method=args.ksp,
+                            source=args.source)
     _report(mesh, 1, res, t0)
     _write_output(args, mesh, 1, res.u_full)
     return 0 if res.stats.converged else 1
@@ -208,6 +220,8 @@ def build_parser():
     sp.add_argument("--ksp", choices=["cg", "bicgstab"], default="cg")
     sp.add_argument("--source", type=float, default=None,
                     help="volume source (default: 0 in 2D, -6 for tetra)")
+    sp.add_argument("--shards", type=int, default=0,
+                    help="shard the solve over N devices (0 = single)")
     sp.set_defaults(fn=cmd_poisson)
 
     sp = sub.add_parser("elasticity", help="implicit linear elasticity")

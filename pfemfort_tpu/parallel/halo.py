@@ -1,0 +1,59 @@
+"""Halo-exchange SpMV for row-sharded DIA matrices.
+
+The reference's PETSc MatMult scatters ghost values between MPI neighbors
+inside KSPSolve (SURVEY §2.5-2.6).  TPU-native version: with shard-contiguous
+row numbering, a DIA matrix's off-shard reads are exactly the last/first W
+rows of the ring neighbors (W = max |diagonal offset|).  The exchange is two
+`ppermute` shifts of W values over ICI — O(W) per shard instead of the
+all_gather's O(N) — and XLA can overlap the permute with the interior FMAs.
+
+Requires W <= rows_per_shard (one-neighbor halos); callers fall back to the
+all_gather path otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def halo_width(offsets: Tuple[int, ...], lane_pad: int = 8) -> int:
+    w = max(max(offsets), -min(offsets), 0)
+    return ((w + lane_pad - 1) // lane_pad) * lane_pad
+
+
+def exchange_halos(x_local: jnp.ndarray, w: int, axis: str):
+    """Return (left_halo (w,), right_halo (w,)) from ring neighbors.
+
+    left_halo = last w rows of the left neighbor (zeros on shard 0),
+    right_halo = first w rows of the right neighbor (zeros on the last).
+    """
+    n = jax.lax.axis_size(axis)
+    # send my tail to my right neighbor -> they receive their left halo
+    tail = x_local[-w:]
+    head = x_local[:w]
+    left = jax.lax.ppermute(tail, axis,
+                            [(i, i + 1) for i in range(n - 1)])
+    right = jax.lax.ppermute(head, axis,
+                             [(i + 1, i) for i in range(n - 1)])
+    return left, right
+
+
+def spmv_dia_halo(offsets: Tuple[int, ...], vals_local: jnp.ndarray,
+                  x_local: jnp.ndarray, w: int, axis: str) -> jnp.ndarray:
+    """y_local = (A x)_local with one-neighbor halo exchange.
+
+    vals_local: (D, P) shard rows of the DIA values; x_local: (P,).
+    Row r (global row0+r) needs x[global r + o] = x_ext[w + r + o] where
+    x_ext = [left_halo, x_local, right_halo] — all static slices.
+    """
+    left, right = exchange_halos(x_local, w, axis)
+    x_ext = jnp.concatenate([left, x_local, right])
+    P = x_local.shape[0]
+    y = jnp.zeros_like(x_local)
+    for d, o in enumerate(offsets):
+        xs = jax.lax.slice_in_dim(x_ext, w + o, w + o + P)
+        y = y + vals_local[d] * xs
+    return y

@@ -113,10 +113,32 @@ def greedy_graph_partition(indptr: np.ndarray, adj: np.ndarray,
     return part
 
 
+def slab_partition(centroids: np.ndarray, n_parts: int,
+                   axis: int | None = None) -> np.ndarray:
+    """1D slab decomposition along one axis (default: the longest).
+
+    The direct analog of the reference's contiguous row-block ownership
+    (node_start/node_end, triapoissonparallelimpl1.F:536-544): parts are
+    geometric slabs in ascending coordinate order, so shard k's halo touches
+    only shards k-1 and k+1 — the precondition for the ring ppermute
+    exchange in parallel/halo.py.
+    """
+    if axis is None:
+        axis = int(np.argmax(centroids.max(axis=0) - centroids.min(axis=0)))
+    order = np.argsort(centroids[:, axis], kind="stable")
+    n = centroids.shape[0]
+    part = np.zeros(n, dtype=np.int32)
+    bounds = (np.arange(1, n_parts) * n) // n_parts
+    part[order] = np.searchsorted(bounds, np.arange(n), side="right")
+    return part
+
+
 def partition_elements(mesh: Mesh, n_parts: int,
                        method: str = "rcb") -> np.ndarray:
     if n_parts <= 1:
         return np.zeros(mesh.n_elem, dtype=np.int32)
+    if method == "slab":
+        return slab_partition(mesh.elem_centroids(), n_parts)
     from pfemfort_tpu import native
     if method == "rcb":
         if native.available():

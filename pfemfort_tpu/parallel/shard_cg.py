@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh as JMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from pfemfort_tpu.parallel.halo import halo_width, spmv_dia_halo
 from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
 
 
@@ -71,6 +72,57 @@ def distributed_cg_solve(
         out_specs=(P(axis), P()),
     )
     return jax.jit(mapped)(cols, vals, b)
+
+
+def distributed_cg_solve_dia(
+    device_mesh: JMesh,
+    offsets,               # static tuple of diagonal offsets
+    dia_vals: jax.Array,   # (D, n_rows_padded)
+    b: jax.Array,          # (n_rows_padded,)
+    rtol: float = 1e-8,
+    maxiter: int = 10_000,
+    axis: str = "shard",
+):
+    """CG with the halo-exchange DIA SpMV: per-iteration comm is two
+    ppermute shifts of the halo width W = max|offset| (plus psum dots)
+    instead of an all_gather of the full vector — the overlap-friendly
+    'interior SpMV + neighbor halo' structure PETSc uses over MPI
+    (SURVEY §5 'long-context' row).
+    """
+    n_rows = b.shape[0]
+    n_shards = device_mesh.devices.size
+    rows_per_shard = n_rows // n_shards
+    w = halo_width(offsets)
+    assert w <= rows_per_shard, (
+        f"halo width {w} exceeds rows/shard {rows_per_shard}; "
+        "use distributed_cg_solve")
+    try:
+        d0 = list(offsets).index(0)
+    except ValueError:
+        d0 = None
+
+    def body(vals_l, b_l):
+        def operator(x_l):
+            return spmv_dia_halo(offsets, vals_l, x_l, w, axis)
+
+        def dot(a, c):
+            return jax.lax.psum(
+                jnp.dot(a, c, precision=jax.lax.Precision.HIGHEST), axis)
+
+        diag = vals_l[d0] if d0 is not None else jnp.zeros_like(b_l)
+        x_l, stats = cg_solve(
+            operator, b_l,
+            precond=jacobi_preconditioner(diag),
+            rtol=rtol, maxiter=maxiter, dot=dot)
+        return x_l, stats
+
+    mapped = jax.shard_map(
+        body,
+        mesh=device_mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )
+    return jax.jit(mapped)(dia_vals, b)
 
 
 def shard_arrays(device_mesh: JMesh, axis: str, *arrays):

@@ -1,0 +1,78 @@
+"""Halo-exchange DIA distributed CG: must match the single-device solve and
+the all_gather path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfemfort_tpu.drivers.poisson import solve_poisson
+from pfemfort_tpu.drivers.sharded import solve_implicit_sharded
+from pfemfort_tpu.elements.poisson import poisson_element_matrices
+from pfemfort_tpu.elements.elasticity import dmat_3d, elasticity_stiffness
+from pfemfort_tpu.mesh import generate
+from pfemfort_tpu.parallel.partition import slab_partition
+
+
+def _mesh_or_skip(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices")
+    return jax.sharding.Mesh(np.array(devs[:n]), ("shard",))
+
+
+def test_slab_partition_is_contiguous():
+    pts = np.random.default_rng(0).uniform(size=(500, 3)) * [1, 2, 10]
+    part = slab_partition(pts, 4)
+    counts = np.bincount(part, minlength=4)
+    assert counts.max() - counts.min() <= 1
+    # slabs are ordered along z (the longest axis)
+    for p in range(3):
+        assert pts[part == p, 2].max() <= pts[part == p + 1, 2].min() + 1e-12
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_halo_cg_matches_single_device_poisson(n_shards):
+    dm = _mesh_or_skip(n_shards)
+    mesh, dbc = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 6)
+    ref = solve_poisson(mesh, dbc, rtol=1e-11)
+
+    res = solve_implicit_sharded(
+        mesh, 1, dbc,
+        lambda c: poisson_element_matrices(c, "tetra4", source=-6.0),
+        device_mesh=dm, rtol=1e-11)
+    assert bool(np.asarray(res.stats.converged))
+    assert np.allclose(res.u_full, ref.u_full, atol=1e-8)
+    # iteration count must be sharding-independent
+    assert abs(int(res.stats.iters) - int(ref.stats.iters)) <= 2
+
+
+def test_halo_cg_elasticity_3d():
+    dm = _mesh_or_skip(4)
+    mesh, _ = generate.box_tet(0, 1, 3, 0, 1, 3, 0, 1, 6)
+    base = np.nonzero(np.isclose(mesh.coords[:, 2], 0))[0]
+    dbc = np.array([[n, d, 0.0] for n in base for d in (0, 1, 2)])
+    D = dmat_3d(240.565, 0.3)
+    tip = np.argmax(mesh.coords[:, 2])
+    fbc = np.array([[tip, 0, 1.0]])
+
+    from pfemfort_tpu.drivers.elasticity import solve_elasticity
+    ref = solve_elasticity(mesh, dbc, 240.565, 0.3, force_bc=fbc, rtol=1e-11)
+
+    res = solve_implicit_sharded(
+        mesh, 3, dbc,
+        lambda c: elasticity_stiffness(c, "tetra4", D),
+        force_bc=fbc, device_mesh=dm, rtol=1e-11)
+    assert bool(np.asarray(res.stats.converged))
+    assert np.allclose(res.u_full, ref.u_full, atol=1e-7)
+
+
+def test_manufactured_solution_on_shards():
+    dm = _mesh_or_skip(8)
+    mesh, dbc = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 8)
+    res = solve_implicit_sharded(
+        mesh, 1, dbc,
+        lambda c: poisson_element_matrices(c, "tetra4", source=-6.0),
+        device_mesh=dm, rtol=1e-11)
+    u_exact = (mesh.coords ** 2).sum(axis=1)
+    assert np.abs(res.u_full - u_exact).max() < 1e-8
