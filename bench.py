@@ -2,7 +2,9 @@
 
 Headline metric: SpMV throughput (nnz/s) on the flagship 3D tet Poisson
 system — the hot loop of the reference's KSPSolve (SURVEY §6 / BASELINE.md).
-Also measures assembly throughput (elems/s) and runs a full CG solve.
+Also measures assembly throughput (elems/s), a full f32 CG solve, and the
+mixed-precision refined solve to the reference's 1e-8 double-precision
+target.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json published={}),
 so the baseline is an estimate of PETSc MPIAIJ SpMV on one modern CPU socket:
@@ -14,6 +16,10 @@ import json
 import sys
 import time
 
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 import numpy as np
 
 BASELINE_NNZ_PER_S = 1.0e9
@@ -21,43 +27,56 @@ BASELINE_NNZ_PER_S = 1.0e9
 
 def main():
     import jax
+
+    jax.config.update("jax_enable_x64", True)  # for the f64 refinement outer
+    # Persistent compile cache: the axon remote-compile tunnel costs minutes
+    # per kernel; cached reruns skip it entirely.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from pfemfort_tpu.assembly.assemble import (
-        assemble_ell_values,
+        assemble_matrix,
         assemble_rhs,
         dirichlet_rhs_correction,
     )
     from pfemfort_tpu.assembly.pattern import build_pattern
     from pfemfort_tpu.dofs.dofmap import build_dofmap
+    from pfemfort_tpu.elements.geometry import to_element_minor
     from pfemfort_tpu.elements.poisson import poisson_element_matrices
     from pfemfort_tpu.mesh import generate
     from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
-    from pfemfort_tpu.sparse.dia import dia_diagonal, ell_to_dia, spmv_dia
-    from pfemfort_tpu.sparse.spmv import extract_diagonal, spmv_ell
+    from pfemfort_tpu.solve.refine import cg_with_refinement
+    from pfemfort_tpu.sparse.ops import operator_and_diag
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 72
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     dtype = jnp.float32
 
+    t_host0 = time.perf_counter()
     mesh, dbc = generate.box_tet(0, 1, n, 0, 1, n, 0, 1, n)
     dofmap = build_dofmap(mesh, 1, dbc)
     pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof)
+    t_host = time.perf_counter() - t_host0
+    _log(f"host setup {t_host:.1f}s, E={mesh.n_elem}, N={dofmap.total_dof}, layout={pattern.layout}")
 
-    coords_e = jnp.asarray(mesh.elem_coords(), dtype=dtype)
-    ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof],
+    coords_e = jnp.asarray(to_element_minor(mesh.elem_coords()),
+                           dtype=dtype)
+    ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T,
                         dtype=dtype)
-    ell_cols = jnp.asarray(pattern.ell_cols)
 
     @jax.jit
     def assemble(coords_e, ubc_e):
-        Ke, Fe_src = poisson_element_matrices(coords_e, "tetra4")
-        A = assemble_ell_values(Ke, pattern, ell_cols)
+        Ke, Fe_src = poisson_element_matrices(coords_e, "tetra4",
+                                              source=-6.0)
+        A = assemble_matrix(Ke, pattern)
         b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
                          pattern)
         return A, b
 
     # --- assembly throughput ---
+    t0 = time.perf_counter()
     A, b = jax.block_until_ready(assemble(coords_e, ubc_e))  # compile+warm
+    _log(f"assemble compile+run {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     reps_a = 3
     for _ in range(reps_a):
@@ -65,29 +84,29 @@ def main():
     jax.block_until_ready((A, b))
     t_asm = (time.perf_counter() - t0) / reps_a
     elems_per_s = mesh.n_elem / t_asm
+    _log(f"assembly {t_asm*1e3:.0f}ms -> {elems_per_s/1e6:.1f}M elems/s")
 
-    # --- SpMV throughput (DIA fast path when the pattern qualifies) ---
-    nnz = pattern.nnz
+    # nnz of the assembled operator (count nonzero DIA slots on device)
+    if pattern.layout == "dia":
+        nnz = int(jnp.sum(A.vals != 0))
+    else:
+        nnz = pattern.nnz
+
+    # --- SpMV throughput ---
     x = jnp.ones((dofmap.total_dof,), dtype=dtype)
-    use_dia = pattern.dia is not None
-
-    def make_op(A_vals):
-        if use_dia:
-            Ad = ell_to_dia(pattern.dia, A_vals)
-            return (lambda v: spmv_dia(Ad, v)), dia_diagonal(Ad)
-        Am = A._replace(vals=A_vals)
-        return (lambda v: spmv_ell(Am, v)), extract_diagonal(Am)
 
     @jax.jit
     def spmv_chain(A_vals, x, iters=50):
-        op, _ = make_op(A_vals)
+        op, _ = operator_and_diag(A._replace(vals=A_vals))
 
         def body(i, x):
             y = op(x)
             return y / (jnp.max(jnp.abs(y)) + 1e-30)
         return jax.lax.fori_loop(0, iters, body, x)
 
+    t0 = time.perf_counter()
     y = jax.block_until_ready(spmv_chain(A.vals, x))
+    _log(f"spmv compile {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
@@ -95,18 +114,42 @@ def main():
     jax.block_until_ready(y)
     t_spmv = (time.perf_counter() - t0) / (reps * 50)
     nnz_per_s = nnz / t_spmv
+    _log(f"spmv {t_spmv*1e6:.0f}us -> {nnz_per_s/1e9:.2f} Gnnz/s")
 
-    # --- full CG solve ---
+    # --- full f32 CG solve ---
     @jax.jit
     def solve(A_vals, b):
-        op, diag = make_op(A_vals)
+        op, diag = operator_and_diag(A._replace(vals=A_vals))
         return cg_solve(op, b,
                         precond=jacobi_preconditioner(diag),
-                        rtol=1e-6, maxiter=2000)
+                        rtol=1e-6, maxiter=5000)
+    t0 = time.perf_counter()
     u, stats = jax.block_until_ready(solve(A.vals, b))
+    _log(f"cg compile+run {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     u, stats = jax.block_until_ready(solve(A.vals, b))
     t_solve = time.perf_counter() - t0
+    _log(f"cg f32 {t_solve:.2f}s, {int(np.asarray(stats.iters))} iters")
+
+    # --- mixed-precision refined solve to 1e-8 (true f64 residual) ---
+    coords64 = jnp.asarray(to_element_minor(mesh.elem_coords()),
+                           dtype=jnp.float64)
+    ubc64 = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T,
+                        dtype=jnp.float64)
+    A64, b64 = assemble(coords64, ubc64)
+    op64, _ = operator_and_diag(A64)
+    op32, diag32 = operator_and_diag(A)
+    t0 = time.perf_counter()
+    x64, rstats = cg_with_refinement(
+        op64, op32, b64,
+        precond32=jacobi_preconditioner(diag32),
+        rtol=1e-8, inner_rtol=1e-5)
+    jax.block_until_ready(x64)
+    t_refine = time.perf_counter() - t0
+    _log(f"refined solve {t_refine:.1f}s")
+    u_exact = (mesh.coords ** 2).sum(axis=1)
+    u_full = dofmap.expand_solution(np.asarray(x64))
+    nodal_err = float(np.abs(u_full - u_exact).max())
 
     result = {
         "metric": "spmv_nnz_per_s",
@@ -117,16 +160,21 @@ def main():
             "mesh": f"tet {n}x{n}x{n}x6 = {mesh.n_elem} elems",
             "n_dof": int(dofmap.total_dof),
             "nnz": int(nnz),
-            "ell_k": int(pattern.ell_k),
-            "spmv_format": "dia" if use_dia else "ell",
-            "dia_offsets": len(pattern.dia.offsets) if use_dia else 0,
+            "layout": pattern.layout,
+            "dia_offsets": pattern.n_offsets,
+            "host_setup_s": float(t_host),
             "assembly_elems_per_s": float(elems_per_s),
             "assembly_s": float(t_asm),
             "spmv_s": float(t_spmv),
-            "cg_iters": int(np.asarray(stats.iters)),
-            "cg_relres": float(np.asarray(stats.relres)),
-            "cg_solve_s": float(t_solve),
-            "dtype": "float32",
+            "cg_f32_iters": int(np.asarray(stats.iters)),
+            "cg_f32_relres": float(np.asarray(stats.relres)),
+            "cg_f32_solve_s": float(t_solve),
+            "refined_inner_iters": int(rstats.total_inner_iters),
+            "refined_outer_iters": int(rstats.outer_iters),
+            "refined_relres_f64": float(rstats.relres),
+            "refined_solve_s": float(t_refine),
+            "nodal_err_vs_exact": nodal_err,
+            "dtype": "float32 (+f64 refinement)",
             "device": str(jax.devices()[0]),
         },
     }

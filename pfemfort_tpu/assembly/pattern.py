@@ -2,14 +2,20 @@
 
 TPU-native replacement for the reference's two-pass MatSetValues flow
 (sparsity INSERT pre-pass at /root/reference/src/triapoissonparallelimpl1.F:
-814-825, ADD_VALUES assembly at :849-905): because the mesh is static, the
-entire scatter is precomputed as
-  * a permutation that sorts all element (row, col) contributions by their
-    destination ELL slot, and
-  * sorted segment ids for an `indices_are_sorted` segment-sum.
-Device-side assembly is then: gather(Ke.flat, perm) -> segment_sum -> vals.
-Dropped contributions (BC rows/cols, elem_dof == -1) map to a trailing
-sentinel segment, exactly like PETSc's VEC_IGNORE_NEGATIVE_INDICES trick
+814-825, ADD_VALUES assembly at :849-905).  Because the mesh is static, the
+entire scatter is precomputed host-side; device assembly is one segment-sum.
+
+Two layouts:
+  * 'dia' (fast path, lattice-structured numbering): the distinct diagonal
+    offsets (col - row) are detected with an O(nnz) bincount census — no
+    sorting — and every element entry maps to the flat slot d*N + row of a
+    (D, N) diagonal value array.  Assembly is a single UNSORTED segment-sum;
+    SpMV is the gather-free shifted-FMA kernel in sparse/dia.py.
+  * 'ell' (general fallback): unique (row, col) pairs -> CSR -> padded ELL,
+    with a stable-sorted scatter plan.
+
+Dropped contributions (elem_dof == -1, the BC sentinel) map to a trailing
+segment, exactly like PETSc's VEC_IGNORE_NEGATIVE_INDICES trick
 (/root/reference/src/solverpetsc.F:142-143).
 """
 
@@ -20,101 +26,149 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from pfemfort_tpu.sparse.dia import DIAPlan, build_dia_plan
 from pfemfort_tpu.sparse.formats import ELLMatrix, round_up
 
 
 @dataclasses.dataclass
 class AssemblyPattern:
+    layout: str               # 'dia' or 'ell'
     n_rows: int
-    nnz: int
-    # CSR structure (host, for export/debug and ELL construction)
-    indptr: np.ndarray    # (n_rows+1,) int64
-    indices: np.ndarray   # (nnz,) int32
-    # ELL structure
-    ell_k: int
-    ell_cols: np.ndarray  # (n_rows, ell_k) int32, pad = n_rows sentinel
-    # Matrix scatter plan: element entries -> ELL flat positions
-    mat_perm: np.ndarray      # (n_entries,) int32/int64 gather permutation
-    mat_segids: np.ndarray    # (n_entries,) sorted ELL flat position ids
-    mat_nsegs: int            # n_rows*ell_k + 1 (last = dropped sentinel)
-    # RHS scatter plan: element rows -> reduced-dof positions
-    rhs_perm: np.ndarray
-    rhs_segids: np.ndarray
-    rhs_nsegs: int            # n_rows + 1
-    # Optional diagonal-offset structure (TPU fast path; sparse/dia.py)
-    dia: Optional[DIAPlan] = None
+    # --- rhs scatter (both layouts): unsorted dest ids, sentinel n_rows ---
+    rhs_dest: np.ndarray      # (n_elem * ns,)
+    # --- 'dia' layout: destinations are computed ON DEVICE at assembly time
+    # from elem_dof (cheap elementwise + log2(D)-step searchsorted), so no
+    # O(n_entries) host arrays exist at all ---
+    dia_offsets: Optional[Tuple[int, ...]] = None
+    elem_dof_t: Optional[np.ndarray] = None  # (ns, n_elem) int32, -1 sentinel
+    mat_dest: Optional[np.ndarray] = None   # unused in 'dia' (kept for tools)
+    # --- 'ell' layout ---
+    nnz: int = -1
+    indptr: Optional[np.ndarray] = None
+    indices: Optional[np.ndarray] = None
+    ell_k: int = 0
+    ell_cols: Optional[np.ndarray] = None
+    mat_perm: Optional[np.ndarray] = None
+    mat_segids: Optional[np.ndarray] = None
+    mat_nsegs: int = 0
+
+    @property
+    def n_offsets(self) -> int:
+        return len(self.dia_offsets) if self.dia_offsets else 0
 
 
-def _csr_from_elem_dof(elem_dof: np.ndarray, n_rows: int):
-    """Unique (row, col) pairs over all element dof pairs with both >= 0."""
+def _entry_arrays(elem_dof: np.ndarray):
+    """Per-entry (row, col) arrays flattened in (i, j, e) order — matching
+    the element-minor Ke (ns, ns, E) produced by the element kernels."""
     ns = elem_dof.shape[1]
-    rows = np.repeat(elem_dof, ns, axis=1).ravel()       # (E, ns*ns) i-major
-    cols = np.tile(elem_dof, (1, ns)).ravel()
+    edt = elem_dof.T.astype(np.int64)              # (ns, E)
+    E = edt.shape[1]
+    rows = np.broadcast_to(edt[:, None, :], (ns, ns, E)).ravel()
+    cols = np.broadcast_to(edt[None, :, :], (ns, ns, E)).ravel()
     valid = (rows >= 0) & (cols >= 0)
-    keys = rows.astype(np.int64) * n_rows + cols.astype(np.int64)
+    return rows, cols, valid
+
+
+def _offset_census(elem_dof: np.ndarray, n_rows: int,
+                   device: bool = True) -> np.ndarray:
+    """Distinct diagonal offsets (col - row) over all valid element entries.
+
+    O(nnz) bincount — no sorting.  Runs on the accelerator when available
+    (the 85M-entry numpy version costs seconds; on device it is one
+    scatter-add), falling back to numpy.
+    """
+    if device:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            @jax.jit
+            def census(edt):  # (ns, E) element-minor
+                rows = edt[:, None, :].astype(jnp.int32)
+                cols = edt[None, :, :].astype(jnp.int32)
+                valid = (rows >= 0) & (cols >= 0)
+                offs = jnp.where(valid, cols - rows + n_rows, 2 * n_rows)
+                return jnp.zeros(2 * n_rows + 1, jnp.int32).at[
+                    offs.reshape(-1)].add(1)
+
+            cnt = np.asarray(census(jnp.asarray(elem_dof.T,
+                                                dtype=jnp.int32)))
+            return np.nonzero(cnt[:2 * n_rows])[0] - n_rows
+        except Exception:
+            pass
+    rows, cols, valid = _entry_arrays(elem_dof)
+    offs_shifted = np.where(valid, cols - rows + n_rows, 2 * n_rows)
+    cnt = np.bincount(offs_shifted, minlength=2 * n_rows + 1)
+    return np.nonzero(cnt[:2 * n_rows])[0] - n_rows
+
+
+def _rhs_dest(elem_dof: np.ndarray, n_rows: int):
+    """Flat rhs destinations in (i, e) order — matching Fe (ns, E)."""
+    rd = elem_dof.T.ravel().astype(np.int64)
+    rd = np.where(rd < 0, n_rows, rd)
+    dt = np.int32 if n_rows + 1 < 2**31 else np.int64
+    return rd.astype(dt)
+
+
+def build_pattern(elem_dof: np.ndarray, n_rows: int, lane_pad: int = 8,
+                  layout: str = "auto", max_offsets: int = 128
+                  ) -> AssemblyPattern:
+    """Build the assembly pattern; 'auto' prefers the O(nnz) DIA census."""
+    elem_dof = np.asarray(elem_dof)
+    rhs_dest = _rhs_dest(elem_dof, n_rows)
+
+    if layout in ("auto", "dia"):
+        uniq = _offset_census(elem_dof, n_rows)
+        if len(uniq) <= max_offsets and len(uniq) > 0:
+            return AssemblyPattern(
+                layout="dia",
+                n_rows=n_rows,
+                rhs_dest=rhs_dest,
+                dia_offsets=tuple(int(o) for o in uniq),
+                elem_dof_t=np.ascontiguousarray(elem_dof.T, dtype=np.int32),
+            )
+        if layout == "dia":
+            raise ValueError(
+                f"{len(uniq)} diagonal offsets exceed max_offsets "
+                f"{max_offsets}; pattern is not DIA-structured")
+
+    # ---- general ELL path -------------------------------------------------
+    rows, cols, valid = _entry_arrays(elem_dof)
+    keys = rows * n_rows + cols
     uk = np.unique(keys[valid])
     indices = (uk % n_rows).astype(np.int32)
     urows = (uk // n_rows).astype(np.int64)
     counts = np.bincount(urows, minlength=n_rows)
     indptr = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
-    return indptr, indices, uk, rows, cols, valid
-
-
-def build_pattern(elem_dof: np.ndarray, n_rows: int,
-                  lane_pad: int = 8) -> AssemblyPattern:
-    """Build CSR/ELL pattern and static scatter plans from elem_dof.
-
-    elem_dof: (n_elem, ns) int32 reduced equation ids with -1 sentinels.
-    """
-    elem_dof = np.asarray(elem_dof)
-    E, ns = elem_dof.shape
-    indptr, indices, uk, rows, cols, valid = _csr_from_elem_dof(
-        elem_dof, n_rows)
     nnz = indices.shape[0]
 
-    # --- ELL structure ---------------------------------------------------
     row_deg = np.diff(indptr)
     ell_k = int(round_up(max(int(row_deg.max(initial=0)), 1), lane_pad))
     ell_cols = np.full((n_rows, ell_k), n_rows, dtype=np.int32)
-    # position of each CSR entry within its row
     within = np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1], row_deg)
     csr_row = np.repeat(np.arange(n_rows, dtype=np.int64), row_deg)
     ell_cols[csr_row, within] = indices
-    csr_to_ellflat = csr_row * ell_k + within  # (nnz,)
+    csr_to_ellflat = csr_row * ell_k + within
 
-    # --- matrix scatter plan ---------------------------------------------
-    # Each element entry (flattened e, i, j order) -> ELL flat position.
-    keys = rows.astype(np.int64) * n_rows + cols.astype(np.int64)
-    # Map each valid key to its CSR index via searchsorted on unique keys.
     csr_pos = np.searchsorted(uk, keys[valid])
     dropped_id = n_rows * ell_k
-    dest = np.full(E * ns * ns, dropped_id, dtype=np.int64)
+    dest = np.full(rows.shape[0], dropped_id, dtype=np.int64)
     dest[valid] = csr_to_ellflat[csr_pos]
     mat_perm = np.argsort(dest, kind="stable")
     mat_segids = dest[mat_perm]
 
-    # --- rhs scatter plan -------------------------------------------------
-    rdest = elem_dof.ravel().astype(np.int64)
-    rdest[rdest < 0] = n_rows
-    rhs_perm = np.argsort(rdest, kind="stable")
-    rhs_segids = rdest[rhs_perm]
-
-    idx_dtype = np.int32 if E * ns * ns < 2**31 else np.int64
-    dia = build_dia_plan(indptr, indices, ell_k)
+    idx_dtype = np.int32 if rows.shape[0] < 2**31 else np.int64
     return AssemblyPattern(
+        layout="ell",
         n_rows=n_rows,
+        rhs_dest=rhs_dest,
         nnz=nnz,
         indptr=indptr,
         indices=indices,
         ell_k=ell_k,
         ell_cols=ell_cols,
         mat_perm=mat_perm.astype(idx_dtype),
-        mat_segids=mat_segids.astype(idx_dtype if dropped_id < 2**31 else np.int64),
+        mat_segids=mat_segids.astype(
+            np.int32 if dropped_id + 1 < 2**31 else np.int64),
         mat_nsegs=n_rows * ell_k + 1,
-        rhs_perm=rhs_perm.astype(idx_dtype),
-        rhs_segids=rhs_segids.astype(np.int32 if n_rows < 2**31 else np.int64),
-        rhs_nsegs=n_rows + 1,
-        dia=dia,
     )

@@ -7,7 +7,6 @@ This is the single skeleton every reference driver re-implements inline
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -16,12 +15,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from pfemfort_tpu.assembly.assemble import (
-    assemble_ell_values,
+    assemble_matrix,
     assemble_rhs,
     dirichlet_rhs_correction,
 )
-from pfemfort_tpu.assembly.pattern import AssemblyPattern, build_pattern
-from pfemfort_tpu.dofs.dofmap import DofMap, build_dofmap
+from pfemfort_tpu.assembly.pattern import build_pattern
+from pfemfort_tpu.dofs.dofmap import build_dofmap
+from pfemfort_tpu.elements.geometry import to_element_minor
 from pfemfort_tpu.mesh.core import Mesh
 from pfemfort_tpu.solve.cg import (
     SolveStats,
@@ -29,8 +29,7 @@ from pfemfort_tpu.solve.cg import (
     cg_solve,
     jacobi_preconditioner,
 )
-from pfemfort_tpu.sparse.dia import dia_diagonal, ell_to_dia, spmv_dia
-from pfemfort_tpu.sparse.spmv import extract_diagonal, spmv_ell
+from pfemfort_tpu.sparse.ops import operator_and_diag
 
 
 class ImplicitResult(NamedTuple):
@@ -38,6 +37,18 @@ class ImplicitResult(NamedTuple):
     u_reduced: jax.Array      # (total_dof,) device solution
     stats: SolveStats
     timings: dict
+
+
+def _point_loads(dofmap, force_bc) -> np.ndarray:
+    """Nodal ForceBC rows -> reduced rhs vector (row-ownership guard as in
+    triaelasticityparallelimpl1.F:976-987)."""
+    fvec = np.zeros(dofmap.total_dof, dtype=np.float64)
+    if force_bc is not None and len(force_bc):
+        rows = dofmap.node_dof[force_bc[:, 0].astype(np.int64),
+                               force_bc[:, 1].astype(np.int64)]
+        keep = rows >= 0
+        np.add.at(fvec, rows[keep], force_bc[keep, 2])
+    return fvec
 
 
 def solve_implicit(
@@ -51,6 +62,7 @@ def solve_implicit(
     atol: float = 0.0,
     maxiter: Optional[int] = None,
     method: str = "cg",
+    refine: bool = False,
 ) -> ImplicitResult:
     """Assemble and solve K u = F for one element kernel.
 
@@ -58,10 +70,17 @@ def solve_implicit(
       element_fn: coords_e (E,npe,ndim) -> (Ke (E,ns,ns), Fe_src (E,ns)).
       dirichlet:  (n,3) [node, dof, value] rows (0-based).
       force_bc:   optional (n,3) nodal point loads added to the rhs
-                  (the reference's ForceBC files,
-                  /root/reference/src/triaelasticityparallelimpl1.F:976-987).
+                  (the reference's ForceBC files).
       method:     'cg' (reference default, solverpetsc.F:187) or 'bicgstab'.
+      refine:     mixed-precision iterative refinement — f32 inner CG with a
+                  f64 residual loop reaching rtol in TRUE f64 residual (the
+                  TPU path to the reference's double-precision 1e-8 target;
+                  solve/refine.py).  Ignores `dtype` and `method`.
     """
+    if refine:
+        return _solve_implicit_refined(
+            mesh, ndof, dirichlet, element_fn, force_bc=force_bc,
+            rtol=rtol, maxiter=maxiter)
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respect jax_enable_x64
     t0 = time.perf_counter()
@@ -69,39 +88,23 @@ def solve_implicit(
     pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof)
     t_pattern = time.perf_counter() - t0
 
-    coords_e = jnp.asarray(mesh.elem_coords(), dtype=dtype)
+    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
+                            dtype=dtype)
     ubc_e = jnp.asarray(
-        dofmap.bc_values_full[dofmap.elem_nodedof], dtype=dtype)
-    ell_cols = jnp.asarray(pattern.ell_cols)
-
-    fvec = np.zeros(dofmap.total_dof, dtype=np.float64)
-    if force_bc is not None and len(force_bc):
-        rows = dofmap.node_dof[force_bc[:, 0].astype(np.int64),
-                               force_bc[:, 1].astype(np.int64)]
-        keep = rows >= 0
-        np.add.at(fvec, rows[keep], force_bc[keep, 2])
-    fvec = jnp.asarray(fvec, dtype=dtype)
+        dofmap.bc_values_full[dofmap.elem_nodedof].T, dtype=dtype)
+    fvec = jnp.asarray(_point_loads(dofmap, force_bc), dtype=dtype)
 
     if maxiter is None:
         maxiter = max(10 * dofmap.total_dof, 1000)
     solver = cg_solve if method == "cg" else bicgstab_solve
 
-    use_dia = pattern.dia is not None
-
     @jax.jit
-    def assemble_and_solve(coords_e, ubc_e, fvec):
-        Ke, Fe_src = element_fn(coords_e)
-        A = assemble_ell_values(Ke, pattern, ell_cols)
+    def assemble_and_solve(coords_em, ubc_e, fvec):
+        Ke, Fe_src = element_fn(coords_em)
+        A = assemble_matrix(Ke, pattern)
         Fe = Fe_src + dirichlet_rhs_correction(Ke, ubc_e)
         b = assemble_rhs(Fe, pattern) + fvec
-        if use_dia:
-            # Lattice-structured pattern: gather-free diagonal SpMV
-            Ad = ell_to_dia(pattern.dia, A.vals)
-            operator = lambda x: spmv_dia(Ad, x)
-            diag = dia_diagonal(Ad)
-        else:
-            operator = lambda x: spmv_ell(A, x)
-            diag = extract_diagonal(A)
+        operator, diag = operator_and_diag(A)
         u, stats = solver(
             operator,
             b,
@@ -113,7 +116,7 @@ def solve_implicit(
         return u, stats
 
     t1 = time.perf_counter()
-    u, stats = assemble_and_solve(coords_e, ubc_e, fvec)
+    u, stats = assemble_and_solve(coords_em, ubc_e, fvec)
     u = jax.block_until_ready(u)
     t_solve = time.perf_counter() - t1
 
@@ -123,4 +126,140 @@ def solve_implicit(
         u_reduced=u,
         stats=jax.tree.map(lambda a: np.asarray(a), stats),
         timings=dict(pattern_s=t_pattern, solve_s=t_solve),
+    )
+
+
+def solve_implicit_fullsystem(
+    mesh: Mesh,
+    ndof: int,
+    dirichlet: np.ndarray,
+    element_fn: Callable,
+    force_bc: Optional[np.ndarray] = None,
+    dtype=None,
+    rtol: float = 1e-8,
+    maxiter: Optional[int] = None,
+    method: str = "cg",
+) -> ImplicitResult:
+    """serialimpl3-parity path: full-size DOF system + MatZeroRows BCs
+    (/root/reference/src/triapoissonserialimpl3.F:351-359, 557-558).
+
+    TPU advantage of this mode: no reduced renumbering, so structured meshes
+    keep their pristine lattice offsets (often fewer DIA offsets than the
+    reduced system) and the solution vector maps 1:1 to node-dofs.
+    """
+    from pfemfort_tpu.assembly.fullsystem import zero_dirichlet_rows
+    from pfemfort_tpu.solve.gmres import gmres_solve
+
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    n_full = mesh.n_node * ndof
+    t0 = time.perf_counter()
+    dofmap = build_dofmap(mesh, ndof, dirichlet)
+    # full system: every element slot keeps its global node-dof row
+    pattern = build_pattern(dofmap.elem_nodedof, n_full)
+    t_pattern = time.perf_counter() - t0
+
+    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
+                            dtype=dtype)
+    bc_mask = jnp.asarray(~dofmap.free_mask_full())
+    bc_vals = jnp.asarray(dofmap.bc_values_full, dtype=dtype)
+
+    fvec = np.zeros(n_full, dtype=np.float64)
+    if force_bc is not None and len(force_bc):
+        idx = (force_bc[:, 0].astype(np.int64) * ndof
+               + force_bc[:, 1].astype(np.int64))
+        np.add.at(fvec, idx, force_bc[:, 2])
+    fvec = jnp.asarray(fvec, dtype=dtype)
+
+    if maxiter is None:
+        maxiter = max(10 * n_full, 1000)
+    solver = {"cg": cg_solve, "bicgstab": bicgstab_solve,
+              "gmres": gmres_solve}[method]
+
+    @jax.jit
+    def assemble_and_solve(coords_em, bc_vals, fvec):
+        Ke, Fe_src = element_fn(coords_em)
+        A = assemble_matrix(Ke, pattern)
+        b = assemble_rhs(Fe_src, pattern) + fvec
+        A, b = zero_dirichlet_rows(A, b, bc_mask, bc_vals)
+        operator, diag = operator_and_diag(A)
+        # start from the BC values so BC residual components vanish (the
+        # property that lets the reference run CG on this system)
+        x0 = jnp.where(bc_mask, bc_vals, 0.0)
+        u, stats = solver(
+            operator, b, x0=x0,
+            precond=jacobi_preconditioner(diag),
+            rtol=rtol, maxiter=maxiter)
+        return u, stats
+
+    t1 = time.perf_counter()
+    u, stats = assemble_and_solve(coords_em, bc_vals, fvec)
+    u = jax.block_until_ready(u)
+    t_solve = time.perf_counter() - t1
+
+    u_full = np.asarray(u, dtype=np.float64)
+    return ImplicitResult(
+        u_full=u_full,
+        u_reduced=u,
+        stats=jax.tree.map(lambda a: np.asarray(a), stats),
+        timings=dict(pattern_s=t_pattern, solve_s=t_solve),
+    )
+
+
+def _solve_implicit_refined(
+    mesh: Mesh,
+    ndof: int,
+    dirichlet: np.ndarray,
+    element_fn: Callable,
+    force_bc: Optional[np.ndarray] = None,
+    rtol: float = 1e-8,
+    maxiter: Optional[int] = None,
+) -> ImplicitResult:
+    """Mixed-precision path: assemble in f64 and f32, refine to f64 rtol."""
+    from pfemfort_tpu.solve.refine import cg_with_refinement
+
+    t0 = time.perf_counter()
+    dofmap = build_dofmap(mesh, ndof, dirichlet)
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof)
+    t_pattern = time.perf_counter() - t0
+
+    def assemble(dtype):
+        coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
+                                dtype=dtype)
+        ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T,
+                            dtype=dtype)
+        Ke, Fe_src = element_fn(coords_em)
+        A = assemble_matrix(Ke, pattern)
+        b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
+                         pattern)
+        return A, b
+
+    A64, b64 = assemble(jnp.float64)
+    A32, _ = assemble(jnp.float32)
+    b64 = b64 + jnp.asarray(_point_loads(dofmap, force_bc))
+
+    op64, _ = operator_and_diag(A64)
+    op32, diag32 = operator_and_diag(A32)
+
+    if maxiter is None:
+        maxiter = max(10 * dofmap.total_dof, 1000)
+    t1 = time.perf_counter()
+    x64, rstats = cg_with_refinement(
+        op64, op32, b64,
+        precond32=jacobi_preconditioner(diag32),
+        rtol=rtol, inner_maxiter=maxiter)
+    x64 = jax.block_until_ready(x64)
+    t_solve = time.perf_counter() - t1
+
+    stats = SolveStats(
+        iters=np.int32(rstats.total_inner_iters),
+        relres=np.float64(rstats.relres),
+        converged=np.bool_(rstats.converged))
+    u_full = dofmap.expand_solution(np.asarray(x64, dtype=np.float64))
+    return ImplicitResult(
+        u_full=u_full,
+        u_reduced=x64,
+        stats=stats,
+        timings=dict(pattern_s=t_pattern, solve_s=t_solve,
+                     outer_iters=rstats.outer_iters),
     )

@@ -31,6 +31,7 @@ def solve_elasticity(
     rtol: float = 1e-8,
     maxiter: Optional[int] = None,
     method: str = "cg",
+    refine: bool = False,
 ) -> ImplicitResult:
     """Static linear elasticity K u = F with Dirichlet + nodal Force BCs.
 
@@ -55,4 +56,5 @@ def solve_elasticity(
 
     return solve_implicit(
         mesh, ndim, dirichlet, element_fn, force_bc=force_bc,
-        dtype=dtype, rtol=rtol, maxiter=maxiter, method=method)
+        dtype=dtype, rtol=rtol, maxiter=maxiter, method=method,
+        refine=refine)

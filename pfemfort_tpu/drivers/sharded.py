@@ -18,20 +18,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from pfemfort_tpu.assembly.assemble import (
-    assemble_ell_values,
+    assemble_matrix,
     assemble_rhs,
     dirichlet_rhs_correction,
 )
 from pfemfort_tpu.drivers.common import ImplicitResult
 from pfemfort_tpu.mesh.core import Mesh
-from pfemfort_tpu.parallel.halo import halo_width
 from pfemfort_tpu.parallel.shard import ShardedSystem, build_sharded_system
 from pfemfort_tpu.parallel.shard_cg import (
     distributed_cg_solve,
     distributed_cg_solve_dia,
     shard_arrays,
 )
-from pfemfort_tpu.sparse.dia import ell_to_dia
+from pfemfort_tpu.sparse.dia import DIAMatrix
 
 
 def solve_implicit_sharded(
@@ -61,13 +60,14 @@ def solve_implicit_sharded(
                                 method=partition_method)
     t_pattern = time.perf_counter() - t0
 
-    coords_e = jnp.asarray(mesh.elem_coords(), dtype=dtype)
-    ubc_e = jnp.asarray(sys_.dofmap.bc_values_full[sys_.dofmap.elem_nodedof],
-                        dtype=dtype)
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
+                            dtype=dtype)
+    ubc_e = jnp.asarray(
+        sys_.dofmap.bc_values_full[sys_.dofmap.elem_nodedof].T, dtype=dtype)
 
-    Ke, Fe_src = element_fn(coords_e)
-    A = assemble_ell_values(Ke, sys_.pattern,
-                            jnp.asarray(sys_.pattern.ell_cols))
+    Ke, Fe_src = element_fn(coords_em)
+    A = assemble_matrix(Ke, sys_.pattern)
     b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
                      sys_.pattern)
     if force_bc is not None and len(force_bc):
@@ -78,16 +78,14 @@ def solve_implicit_sharded(
         np.add.at(fvec, rows[keep], force_bc[keep, 2])
         b = b + jnp.asarray(sys_.expand_rhs(fvec), dtype=dtype)
 
-    dia = sys_.pattern.dia
     t1 = time.perf_counter()
-    if dia is not None and halo_width(dia.offsets) <= sys_.rows_per_shard:
-        Ad = ell_to_dia(dia, A.vals)
+    if isinstance(A, DIAMatrix):
         from jax.sharding import NamedSharding, PartitionSpec as P
         vals_s = jax.device_put(
-            Ad.vals, NamedSharding(device_mesh, P(None, "shard")))
+            A.vals, NamedSharding(device_mesh, P(None, "shard")))
         b_s, = shard_arrays(device_mesh, "shard", b)
         x, stats = distributed_cg_solve_dia(
-            device_mesh, dia.offsets, vals_s, b_s,
+            device_mesh, A.offsets, vals_s, b_s,
             rtol=rtol, maxiter=maxiter)
     else:
         cols_s, vals_s, b_s = shard_arrays(device_mesh, "shard",

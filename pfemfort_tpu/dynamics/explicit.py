@@ -95,23 +95,22 @@ def explicit_dynamics(
 
     D = dmat_plane_strain(E, nu) if ndim == 2 else dmat_3d(E, nu)
 
-    coords_e = jnp.asarray(mesh.elem_coords(), dtype=dtype)
-    conn = jnp.asarray(mesh.conn.astype(np.int32))
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
+                            dtype=dtype)
+    # element-minor node-dof gather/scatter index table (ns, E)
+    end_t = jnp.asarray(dofmap.elem_nodedof.T.astype(np.int32))
 
-    # Full-vector scatter plan (explicit path assembles by global node-dof,
-    # not reduced eq ids; triaelasticityexplicit.F:1039-1054).
-    rdest = dofmap.elem_nodedof.ravel().astype(np.int64)
-    perm = np.argsort(rdest, kind="stable")
-    segids = rdest[perm]
-    perm_j = jnp.asarray(perm.astype(np.int32 if perm.size < 2**31 else np.int64))
-    segids_j = jnp.asarray(segids.astype(np.int32))
+    # Full-vector scatter (explicit path assembles by global node-dof, not
+    # reduced eq ids; triaelasticityexplicit.F:1039-1054).  Unsorted
+    # segment-sum: no permutation gather (TPU gathers pad badly at scale).
+    dest_j = end_t.reshape(-1)
 
     # Lumped mass over the full vector.
-    Me = lumped_mass(coords_e, mesh.etype, dens, ndof,
+    Me = lumped_mass(coords_em, mesh.etype, dens, ndof,
                      ngp=_MASS_NGP[mesh.etype])
     M_full = jax.ops.segment_sum(
-        Me.reshape(-1)[perm_j], segids_j, num_segments=n_full,
-        indices_are_sorted=True)
+        Me.reshape(-1), dest_j, num_segments=n_full)
 
     free = jnp.asarray(dofmap.free_mask_full())
     has_mass = M_full > 0
@@ -133,20 +132,19 @@ def explicit_dynamics(
     probe = jnp.asarray(np.asarray(probe_dofs, dtype=np.int64))
 
     def residual(disp_full, velo_full, t):
-        disp_e = disp_full.reshape(-1, ndof)[conn]  # (E, npe, ndof)
+        disp_em = disp_full[end_t]                  # (ns, E)
         b = bforce_fn(t)
         if use_hourglass:
-            velo_e = velo_full.reshape(-1, ndof)[conn]
+            velo_em = velo_full[end_t]
             Fe = quad_hg_residual(
-                coords_e, disp_e, velo_e, E, nu, dens, b,
+                coords_em, disp_em, velo_em, E, nu, dens, b,
                 thickness=thickness)
         else:
             Fe = elasticity_residual(
-                coords_e, disp_e, mesh.etype, D, dens, b,
+                coords_em, disp_em, mesh.etype, D, dens, b,
                 thickness=thickness if ndim == 2 else 1.0)
         rhs = jax.ops.segment_sum(
-            Fe.reshape(-1)[perm_j], segids_j, num_segments=n_full,
-            indices_are_sorted=True)
+            Fe.reshape(-1), dest_j, num_segments=n_full)
         return rhs + fext
 
     def step(carry, k):

@@ -1,9 +1,10 @@
-"""Batched linear-elasticity element kernels (device-side, jnp).
+"""Batched linear-elasticity element kernels (jnp) — element-minor layout.
 
 TPU-native redesign of the reference's elasticity element subroutines
 (/root/reference/src/elementutilitieselasticity2D.F,
  /root/reference/src/elementutilitieselasticity3D.F): fused tensor
-contractions over all elements.
+contractions over all elements with the element axis LAST (see geometry.py's
+layout rule).
 
 Reference conventions honored (quirks and all, documented here):
   * Implicit 2D tria uses the PLANE-STRESS D with D33 = E(1-nu)/(1-nu^2)
@@ -21,6 +22,9 @@ Reference conventions honored (quirks and all, documented here):
     (elasticity2D.F:353-360).  The reference's tetra stiffness/mass declare
     nGP=8 but define only point 1 (elasticity3D.F:272,305,416,429 — reads of
     uninitialized rule data); we use the intended correct 1-pt rule.
+
+DOF layout per element: node-major, component-fast — (i, c) -> i*ndof + c,
+matching the reference's TI=(ii-1)*ndof+c (elasticity2D.F:127-133).
 """
 
 from __future__ import annotations
@@ -106,13 +110,66 @@ def _ssel(ndim: int) -> np.ndarray:
     return S
 
 
+def _b_entries(ndim: int, npe: int):
+    """For each Voigt row s and flat dof n=(i*ndim+c): the single (d, i, w)
+    such that B[s,n] = w * dN_i/dx_d, or None (structural zero).
+
+    Exploits that the engineering B selector has at most one nonzero
+    derivative per (s, c) pair, so B is built from gradN slices with NO
+    contraction at all (einsum here would lower to a padded dot_general)."""
+    T = _bsel(ndim)
+    S = T.shape[0]
+    rows = []
+    for s in range(S):
+        ents = []
+        for i in range(npe):
+            for c in range(ndim):
+                nz = np.nonzero(T[s, c])[0]
+                if len(nz) == 0:
+                    ents.append(None)
+                else:
+                    d = int(nz[0])
+                    ents.append((d, i, float(T[s, c, d])))
+        rows.append(ents)
+    return rows
+
+
+def _build_B(gradN: jnp.ndarray, ndim: int, npe: int) -> jnp.ndarray:
+    """B (G, S, ns, E) assembled from gradN slices (pure stacking)."""
+    zero = jnp.zeros_like(gradN[:, 0, 0, :])  # (G, E)
+    rows = []
+    for ents in _b_entries(ndim, npe):
+        cols = [zero if e is None else
+                (gradN[:, e[0], e[1], :] if e[2] == 1.0
+                 else e[2] * gradN[:, e[0], e[1], :])
+                for e in ents]
+        rows.append(jnp.stack(cols, axis=1))   # (G, ns, E)
+    return jnp.stack(rows, axis=1)             # (G, S, ns, E)
+
+
+def _apply_D(D: np.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """(D @ X) over the Voigt axis 1 of X (G, S, ..., E) with static numpy D
+    scalars — unrolled, skipping structural zeros."""
+    S = D.shape[0]
+    outs = []
+    for s in range(S):
+        acc = None
+        for t in range(S):
+            if D[s, t] == 0.0:
+                continue
+            term = float(D[s, t]) * X[:, t]
+            acc = term if acc is None else acc + term
+        outs.append(acc if acc is not None else jnp.zeros_like(X[:, 0]))
+    return jnp.stack(outs, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
 
 def elasticity_stiffness(
-    coords_e: jnp.ndarray,
+    coords_em: jnp.ndarray,
     etype: str,
     D: np.ndarray,
     thickness: float = 1.0,
@@ -121,39 +178,47 @@ def elasticity_stiffness(
 ):
     """K = sum_g dvol B^T D B and body-force vector F = sum_g dvol N b.
 
-    DOF layout per element: node-major, component-fast — (i, c) -> i*ndof + c,
-    matching the reference's TI=(ii-1)*ndof+c (elasticity2D.F:127-133).
-    Returns K (E, ns, ns), F (E, ns) with ns = npe*ndim.
+    coords_em: (npe, ndim, E).  Returns K (ns, ns, E), F (ns, E) with
+    ns = npe*ndim.
     """
-    dtype = coords_e.dtype
+    dtype = coords_em.dtype
     _, wts, N, dNdu = tabulate_basis(etype, ngp)
+    G = dNdu.shape[0]
     ndim = dNdu.shape[1]
     npe = dNdu.shape[2]
-    T = jnp.asarray(_bsel(ndim), dtype=dtype)
-    Dj = jnp.asarray(np.asarray(D, dtype=np.float64), dtype=dtype)
-    wts = jnp.asarray(wts, dtype=dtype)
-    Nj = jnp.asarray(N, dtype=dtype)
-
-    gradN, det = grads_and_det(coords_e, dNdu)
-    dvol = wts[None, :] * det * thickness  # (E, G)
-
-    B = jnp.einsum("scd,egdj->egsjc", T, gradN)  # (E,G,S,npe,ndim)
-    DB = jnp.einsum("st,egtjc->egsjc", Dj, B)
-    K = jnp.einsum("eg,egsia,egsjc->eiajc", dvol, B, DB)
     ns = npe * ndim
-    K = K.reshape(K.shape[0], ns, ns)
+    Dnp = np.asarray(D, dtype=np.float64)
+    S = Dnp.shape[0]
+    wts = jnp.asarray(wts, dtype=dtype)
+    Nnp = np.asarray(N, dtype=np.float64)
 
+    gradN, det = grads_and_det(coords_em, dNdu)   # (G,d,i,E), (G,E)
+    dvol = wts[:, None] * det * thickness         # (G, E)
+
+    B = _build_B(gradN, ndim, npe)                # (G,S,ns,E)
+    DB = _apply_D(Dnp, B)
+    # K[n,m,e] = sum_{g,s} dvol[g,e] B[g,s,n,e] DB[g,s,m,e] — unrolled
+    K = sum(
+        (dvol[g][None, None, :] * B[g, s][:, None, :]) * DB[g, s][None, :, :]
+        for g in range(G) for s in range(S)
+    )
+
+    E_ = coords_em.shape[2]
     if bforce is None:
-        F = jnp.zeros((K.shape[0], ns), dtype=dtype)
+        F = jnp.zeros((ns, E_), dtype=dtype)
     else:
-        b = jnp.asarray(np.asarray(bforce, dtype=np.float64), dtype=dtype)
-        F = jnp.einsum("eg,gi,c->eic", dvol, Nj, b).reshape(K.shape[0], ns)
+        bnp = np.asarray(bforce, dtype=np.float64)
+        # w_i(e) = sum_g dvol[g,e] N[g,i];  F[(i,c)] = w_i * b_c
+        F = jnp.stack([
+            float(bnp[c]) * sum(float(Nnp[g, i]) * dvol[g] for g in range(G))
+            for i in range(npe) for c in range(ndim)
+        ])
     return K, F
 
 
 def elasticity_residual(
-    coords_e: jnp.ndarray,
-    disp_e: jnp.ndarray,
+    coords_em: jnp.ndarray,
+    disp_em: jnp.ndarray,
     etype: str,
     D: np.ndarray,
     dens: float,
@@ -163,64 +228,88 @@ def elasticity_residual(
 ) -> jnp.ndarray:
     """Explicit-dynamics residual F = dens*dvol*N*b - B^T sigma for all elems.
 
-    disp_e: (E, npe, ndim) element nodal displacements.
+    disp_em: (ns, E) element nodal displacements, node-major dof-fast.
     bforce: (ndim,) traced array (time-dependent pulse in the drivers).
     Stress uses tensorial shear strain, exactly like the reference residual
     kernels (elasticity2D.F:254-271, elasticity3D.F:127-150).
-    Returns F (E, ns).
+    Returns F (ns, E).
     """
-    dtype = coords_e.dtype
+    dtype = coords_em.dtype
     _, wts, N, dNdu = tabulate_basis(etype, ngp)
+    G = dNdu.shape[0]
     ndim = dNdu.shape[1]
     npe = dNdu.shape[2]
-    T = jnp.asarray(_bsel(ndim), dtype=dtype)
-    S = jnp.asarray(_ssel(ndim), dtype=dtype)
-    Dj = jnp.asarray(np.asarray(D, dtype=np.float64), dtype=dtype)
+    ns = npe * ndim
+    E_ = coords_em.shape[2]
+    Snp = _ssel(ndim)
+    Dnp = np.asarray(D, dtype=np.float64)
+    nS = Dnp.shape[0]
     wts = jnp.asarray(wts, dtype=dtype)
-    Nj = jnp.asarray(N, dtype=dtype)
+    Nnp = np.asarray(N, dtype=np.float64)
 
-    gradN, det = grads_and_det(coords_e, dNdu)
-    dvol = wts[None, :] * det * thickness  # (E, G)
+    gradN, det = grads_and_det(coords_em, dNdu)
+    dvol = wts[:, None] * det * thickness  # (G, E)
 
-    # grad_disp[e,g,c,d] = sum_i disp[e,i,c] dN_i/dx_d
-    gd = jnp.einsum("eic,egdi->egcd", disp_e, gradN)
-    strain = jnp.einsum("scd,egcd->egs", S, gd)
-    stress = jnp.einsum("st,egt->egs", Dj, strain)
+    # grad_disp[g,c,d,e] = sum_i disp[(i,c),e] dN_i/dx_d — unrolled over i
+    disp3 = disp_em.reshape(npe, ndim, E_)
+    gd = sum(disp3[i][None, :, None, :] * gradN[:, None, :, i, :]
+             for i in range(npe))           # (G, c, d, E)
+    # tensorial strain + stress with static selector/constitutive scalars
+    strain = jnp.stack([
+        sum(float(Snp[s, c, d]) * gd[:, c, d, :]
+            for c in range(ndim) for d in range(ndim)
+            if Snp[s, c, d] != 0.0)
+        for s in range(nS)
+    ], axis=1)                              # (G, S, E)
+    stress = _apply_D(Dnp, strain)
 
-    Fint = jnp.einsum("eg,scd,egdi,egs->eic", dvol, T, gradN, stress)
+    B = _build_B(gradN, ndim, npe)
+    Fint = sum(
+        dvol[g][None, :] * B[g, s] * stress[g, s][None, :]
+        for g in range(G) for s in range(nS)
+    )
     b = jnp.asarray(bforce, dtype=dtype)
-    Fbody = dens * jnp.einsum("eg,gi,c->eic", dvol, Nj, b)
-    return (Fbody - Fint).reshape(coords_e.shape[0], npe * ndim)
+    # Fbody[(i,c)] = dens * (sum_g dvol N_i) * b_c   (b is traced)
+    wnode = [sum(float(Nnp[g, i]) * dvol[g] for g in range(G))
+             for i in range(npe)]
+    Fbody = dens * jnp.stack([wnode[i] * b[c]
+                              for i in range(npe) for c in range(ndim)])
+    return Fbody - Fint
 
 
 def lumped_mass(
-    coords_e: jnp.ndarray,
+    coords_em: jnp.ndarray,
     etype: str,
     dens: float,
     ndof: int,
     ngp: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Row-sum lumped mass vector per element, (E, npe*ndof).
+    """Row-sum lumped mass vector per element, (npe*ndof, E).
 
     M[(i,c)] = sum_g dens * w_g |J|_g * N_i * (sum_j N_j), replicated over
     dofs — the row-sum of the reference's block-diagonal consistent mass
     (elasticity2D.F:334-360).
     """
-    dtype = coords_e.dtype
+    dtype = coords_em.dtype
     _, wts, N, dNdu = tabulate_basis(etype, ngp)
+    G = dNdu.shape[0]
+    npe = dNdu.shape[2]
     wts = jnp.asarray(wts, dtype=dtype)
-    Nj = jnp.asarray(N, dtype=dtype)
-    _, det = grads_and_det(coords_e, dNdu)
-    dvol = wts[None, :] * det * dens  # (E, G)
-    rowsum = Nj.sum(axis=1)  # (G,) == 1 for partition-of-unity bases
-    Mnode = jnp.einsum("eg,gi,g->ei", dvol, Nj, rowsum)  # (E, npe)
-    return jnp.repeat(Mnode, ndof, axis=1)
+    Nnp = np.asarray(N, dtype=np.float64)
+    _, det = grads_and_det(coords_em, dNdu)
+    dvol = wts[:, None] * det * dens  # (G, E)
+    rowsum = Nnp.sum(axis=1)  # (G,) == 1 for partition-of-unity bases
+    Mnode = jnp.stack([
+        sum(float(Nnp[g, i] * rowsum[g]) * dvol[g] for g in range(G))
+        for i in range(npe)
+    ])  # (npe, E)
+    return jnp.repeat(Mnode, ndof, axis=0)
 
 
 def quad_hg_residual(
-    coords_e: jnp.ndarray,
-    disp_e: jnp.ndarray,
-    velo_e: jnp.ndarray,
+    coords_em: jnp.ndarray,
+    disp_em: jnp.ndarray,
+    velo_em: jnp.ndarray,
     E: float,
     nu: float,
     dens: float,
@@ -238,51 +327,60 @@ def quad_hg_residual(
     with Gamma = [+1,-1,+1,-1] and the hard-coded wave-speed override
     m_WAVES = 50.0 (elasticity2D.F:869) and thick = 0.025 (:734).
 
-    coords_e/disp_e/velo_e: (E_, 4, 2).  Returns (E_, 8).
+    coords_em (4, 2, E); disp_em/velo_em (8, E).  Returns (8, E).
     """
-    dtype = coords_e.dtype
-    x = coords_e[:, :, 0]
-    y = coords_e[:, :, 1]
-    area = 0.5 * ((x[:, 2] - x[:, 0]) * (y[:, 3] - y[:, 1])
-                  + (x[:, 1] - x[:, 3]) * (y[:, 2] - y[:, 0]))
+    dtype = coords_em.dtype
+    x = coords_em[:, 0, :]   # (4, E)
+    y = coords_em[:, 1, :]
+    area = 0.5 * ((x[2] - x[0]) * (y[3] - y[1])
+                  + (x[1] - x[3]) * (y[2] - y[0]))
     fact = 2.0 * area
     dNdx = jnp.stack([
-        (y[:, 1] - y[:, 3]) / fact,
-        (y[:, 2] - y[:, 0]) / fact,
-        -(y[:, 1] - y[:, 3]) / fact,
-        -(y[:, 2] - y[:, 0]) / fact,
-    ], axis=1)
+        (y[1] - y[3]) / fact,
+        (y[2] - y[0]) / fact,
+        -(y[1] - y[3]) / fact,
+        -(y[2] - y[0]) / fact,
+    ])  # (4, E)
     dNdy = jnp.stack([
-        (x[:, 3] - x[:, 1]) / fact,
-        (x[:, 0] - x[:, 2]) / fact,
-        -(x[:, 3] - x[:, 1]) / fact,
-        -(x[:, 0] - x[:, 2]) / fact,
-    ], axis=1)
+        (x[3] - x[1]) / fact,
+        (x[0] - x[2]) / fact,
+        -(x[3] - x[1]) / fact,
+        -(x[0] - x[2]) / fact,
+    ])
     Dj = jnp.asarray(dmat_plane_stress(E, nu), dtype=dtype)
 
-    ux, uy = disp_e[:, :, 0], disp_e[:, :, 1]
-    g11 = jnp.sum(ux * dNdx, axis=1)
-    g12 = jnp.sum(ux * dNdy, axis=1)
-    g21 = jnp.sum(uy * dNdx, axis=1)
-    g22 = jnp.sum(uy * dNdy, axis=1)
-    strain = jnp.stack([g11, g22, 0.5 * (g12 + g21)], axis=1)
-    stress = strain @ Dj.T
+    d3 = disp_em.reshape(4, 2, -1)
+    ux, uy = d3[:, 0, :], d3[:, 1, :]   # (4, E)
+    g11 = jnp.sum(ux * dNdx, axis=0)
+    g12 = jnp.sum(ux * dNdy, axis=0)
+    g21 = jnp.sum(uy * dNdx, axis=0)
+    g22 = jnp.sum(uy * dNdy, axis=0)
+    strain = jnp.stack([g11, g22, 0.5 * (g12 + g21)])  # (3, E)
+    Dnp = dmat_plane_stress(E, nu)
+    stress = jnp.stack([
+        sum(float(Dnp[s, t]) * strain[t] for t in range(3)
+            if Dnp[s, t] != 0.0)
+        for s in range(3)
+    ])
 
     dvol = area * thickness
     Nmid = 0.25
     b = jnp.asarray(bforce, dtype=dtype)
-    Fx = (dens * dvol * Nmid)[:, None] * b[0] \
-        - dvol[:, None] * (dNdx * stress[:, 0:1] + dNdy * stress[:, 2:3])
-    Fy = (dens * dvol * Nmid)[:, None] * b[1] \
-        - dvol[:, None] * (dNdx * stress[:, 2:3] + dNdy * stress[:, 1:2])
+    Fx = (dens * dvol * Nmid)[None, :] * b[0] \
+        - dvol[None, :] * (dNdx * stress[0][None, :]
+                           + dNdy * stress[2][None, :])
+    Fy = (dens * dvol * Nmid)[None, :] * b[1] \
+        - dvol[None, :] * (dNdx * stress[2][None, :]
+                           + dNdy * stress[1][None, :])
 
     # Hourglass viscous force
     hg = 0.25 * hg_visc * dens * wave_speed * jnp.sqrt(jnp.abs(area))
-    vx, vy = velo_e[:, :, 0], velo_e[:, :, 1]
+    v3 = velo_em.reshape(4, 2, -1)
+    vx, vy = v3[:, 0, :], v3[:, 1, :]
     gamma = jnp.asarray([1.0, -1.0, 1.0, -1.0], dtype=dtype)
-    H1 = -jnp.sum(vx * gamma, axis=1) * hg
-    H2 = -jnp.sum(vy * gamma, axis=1) * hg
-    Fx = Fx + H1[:, None] * gamma[None, :]
-    Fy = Fy + H2[:, None] * gamma[None, :]
+    H1 = -(vx[0] - vx[1] + vx[2] - vx[3]) * hg
+    H2 = -(vy[0] - vy[1] + vy[2] - vy[3]) * hg
+    Fx = Fx + gamma[:, None] * H1[None, :]
+    Fy = Fy + gamma[:, None] * H2[None, :]
 
-    return jnp.stack([Fx, Fy], axis=2).reshape(coords_e.shape[0], 8)
+    return jnp.stack([Fx, Fy], axis=1).reshape(8, -1)

@@ -1,8 +1,9 @@
-"""Batched Poisson element kernels (device-side, jnp).
+"""Batched Poisson element kernels (device-side, jnp) — element-minor layout.
 
 TPU-native redesign of StiffnessResidualPoissonLinearTria/Tetra
 (/root/reference/src/elementutilitiespoisson.F:23-101, 107-193): one fused
-tensor contraction over ALL elements instead of a per-element subroutine.
+tensor contraction over ALL elements (element axis last — see geometry.py's
+layout rule) instead of a per-element subroutine.
 
 Math (identical to the reference):
   K[i,j] = af * sum_g w_g |J|_g * sum_d kappa_d dN_i/dx_d dN_j/dx_d
@@ -25,7 +26,7 @@ SourceLike = Union[float, Callable]
 
 
 def poisson_element_matrices(
-    coords_e: jnp.ndarray,
+    coords_em: jnp.ndarray,
     etype: str,
     kappa: Optional[Sequence[float]] = None,
     af: float = 1.0,
@@ -35,18 +36,19 @@ def poisson_element_matrices(
     """Element stiffness and source vectors for all elements at once.
 
     Args:
-      coords_e: (E, npe, ndim) device array of element nodal coordinates.
+      coords_em: (npe, ndim, E) device array of element nodal coordinates
+                 (element-minor; see geometry.to_element_minor).
       etype:    element type name.
       kappa:    diffusivity per axis (kx, ky[, kz]); default all ones
                 (the reference drivers set kx=ky=kz=1).
       af:       generalized-alpha factor multiplying K (reference timeData(2),
                 always 1.0 in the drivers).
-      source:   constant source, or callable f(xg)->(E,G) evaluated at
-                physical Gauss-point coordinates xg (E,G,ndim).
+      source:   constant source, or callable f(xg)->(G,E) evaluated at
+                physical Gauss-point coordinates xg (G,ndim,E).
     Returns:
-      K (E, npe, npe), F (E, npe)  in coords_e.dtype.
+      K (npe, npe, E), F (npe, E)  in coords_em.dtype.
     """
-    dtype = coords_e.dtype
+    dtype = coords_em.dtype
     pts, wts, N, dNdu = tabulate_basis(etype, ngp)
     ndim = dNdu.shape[1]
     if kappa is None:
@@ -55,20 +57,28 @@ def poisson_element_matrices(
     wts = jnp.asarray(wts, dtype=dtype)
     Nj = jnp.asarray(N, dtype=dtype)
 
-    gradN, det = grads_and_det(coords_e, dNdu)
-    dvol = wts[None, :] * det  # (E, G)
+    gradN, det = grads_and_det(coords_em, dNdu)   # (G,d,i,E), (G,E)
+    dvol = wts[:, None] * det                     # (G, E)
+    G, pdim, npe = dNdu.shape
 
-    # K = af * sum_{g,d} dvol * kappa_d * gradN_di gradN_dj
-    wgrad = gradN * (dvol[:, :, None, None] * kappa[None, None, :, None])
-    K = af * jnp.einsum("egdi,egdj->eij", wgrad, gradN)
+    # K[i,j,e] = af * sum_{g,d} dvol kappa_d gradN[g,d,i,e] gradN[g,d,j,e]
+    # Unrolled over the tiny (g, d) axes: dot_general lowering of this
+    # einsum materializes (E,npe,npe) batch-major temporaries padded 32x.
+    wgrad = gradN * (dvol[:, None, None, :] * kappa[None, :, None, None])
+    K = af * sum(
+        wgrad[g, d][:, None, :] * gradN[g, d][None, :, :]
+        for g in range(G) for d in range(pdim)
+    )
 
     if callable(source):
-        xg = jnp.einsum("gi,eid->egd", Nj, coords_e)
-        f = source(xg)  # (E, G)
+        xg = sum(Nj[:, i][:, None, None] * coords_em[i][None, :, :]
+                 for i in range(npe))  # (G, ndim, E)
+        f = source(xg)  # (G, E)
     else:
         f = jnp.asarray(source, dtype=dtype)
         f = jnp.broadcast_to(f, dvol.shape)
-    F = jnp.einsum("eg,gi->ei", dvol * f, Nj)
+    df = dvol * f
+    F = sum(df[g][None, :] * Nj[g][:, None] for g in range(G))
     return K, F
 
 
@@ -81,8 +91,11 @@ def poisson_matfree_apply(
 ) -> jnp.ndarray:
     """Matrix-free K_e @ u_e for all elements (for assembly-free CG).
 
-    y_e[i] = af * sum_{g,d} dvol kappa_d gradN_di (sum_j gradN_dj u_j)
+    u_e (npe, E); gradN (G, d, npe, E); dvol (G, E); returns (npe, E).
     """
-    du = jnp.einsum("egdj,ej->egd", gradN, u_e)                  # grad u
-    flux = du * kappa[None, None, :] * dvol[:, :, None]
-    return af * jnp.einsum("egdi,egd->ei", gradN, flux)
+    G, pdim, npe, _ = gradN.shape
+    du = sum(gradN[:, :, j, :] * u_e[j][None, None, :]
+             for j in range(npe))                                # grad u
+    flux = du * kappa[None, :, None] * dvol[:, None, :]
+    return af * sum(gradN[g, d] * flux[g, d][None, :]
+                    for g in range(G) for d in range(pdim))

@@ -53,6 +53,7 @@ def build_sharded_system(
     n_shards: int,
     method: str = "rcb",
     lane_pad: int = 8,
+    layout: str = "auto",
 ) -> ShardedSystem:
     """Partition the mesh and build a shard-contiguous assembly pattern."""
     dofmap = build_dofmap(mesh, ndof, dirichlet)
@@ -81,7 +82,7 @@ def build_sharded_system(
     mapped = np.where(elem_dof >= 0, eq_perm[np.clip(elem_dof, 0, None)], -1)
 
     pattern = build_pattern(mapped.astype(np.int32), n_shards * P,
-                            lane_pad=lane_pad)
+                            lane_pad=lane_pad, layout=layout)
     return ShardedSystem(
         n_shards=n_shards,
         rows_per_shard=P,

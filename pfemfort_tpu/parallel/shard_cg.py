@@ -93,17 +93,25 @@ def distributed_cg_solve_dia(
     n_shards = device_mesh.devices.size
     rows_per_shard = n_rows // n_shards
     w = halo_width(offsets)
-    assert w <= rows_per_shard, (
-        f"halo width {w} exceeds rows/shard {rows_per_shard}; "
-        "use distributed_cg_solve")
+    use_halo = w <= rows_per_shard
     try:
         d0 = list(offsets).index(0)
     except ValueError:
         d0 = None
 
     def body(vals_l, b_l):
-        def operator(x_l):
-            return spmv_dia_halo(offsets, vals_l, x_l, w, axis)
+        if use_halo:
+            def operator(x_l):
+                return spmv_dia_halo(offsets, vals_l, x_l, w, axis)
+        else:
+            # halo wider than a shard (tiny shards): gather the whole x and
+            # slice at the shard's global row offset
+            from pfemfort_tpu.sparse.dia import spmv_dia_local
+
+            def operator(x_l):
+                x_full = jax.lax.all_gather(x_l, axis, tiled=True)
+                row0 = jax.lax.axis_index(axis) * rows_per_shard
+                return spmv_dia_local(offsets, vals_l, x_full, row0)
 
         def dot(a, c):
             return jax.lax.psum(

@@ -17,59 +17,26 @@ fast path; this is a genuinely TPU-first design choice.)
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+import dataclasses
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class DIAMatrix(NamedTuple):
-    offsets: Tuple[int, ...]  # static diagonal offsets (col - row)
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DIAMatrix:
+    """Diagonal-offset matrix.  `offsets` and `n_rows` are static pytree aux
+    (they parameterize slice shapes and must survive jit boundaries)."""
+
     vals: jax.Array           # (D, n_rows): vals[d, r] = A[r, r + off_d]
-    n_rows: int
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
 
-
-class DIAPlan(NamedTuple):
-    """Host-built static map: ELL value array -> DIA value array."""
-
-    offsets: Tuple[int, ...]
-    src: np.ndarray  # (D * n_rows,) int: index into ell_vals.flat, or
-                     # n_rows*ell_k (sentinel -> 0)
-    n_rows: int
-
-
-def build_dia_plan(indptr: np.ndarray, indices: np.ndarray, ell_k: int,
-                   max_offsets: int = 128) -> Optional[DIAPlan]:
-    """Detect diagonal structure in a CSR pattern; None if too irregular."""
-    n_rows = len(indptr) - 1
-    nnz = len(indices)
-    row_deg = np.diff(indptr)
-    rows = np.repeat(np.arange(n_rows, dtype=np.int64), row_deg)
-    offs = indices.astype(np.int64) - rows
-    uniq = np.unique(offs)
-    if len(uniq) > max_offsets:
-        return None
-    # DIA storage cost vs ELL: D*N vs ell_k*N — accept if not much worse.
-    if len(uniq) > 4 * ell_k:
-        return None
-    off_index = {int(o): d for d, o in enumerate(uniq)}
-    d_of_entry = np.searchsorted(uniq, offs)
-    within = np.arange(nnz, dtype=np.int64) - np.repeat(indptr[:-1], row_deg)
-    ell_flat = rows * ell_k + within
-    src = np.full(len(uniq) * n_rows, n_rows * ell_k, dtype=np.int64)
-    src[d_of_entry * n_rows + rows] = ell_flat
-    dt = np.int32 if n_rows * ell_k < 2**31 else np.int64
-    return DIAPlan(offsets=tuple(int(o) for o in uniq),
-                   src=src.astype(dt), n_rows=n_rows)
-
-
-def ell_to_dia(plan: DIAPlan, ell_vals: jnp.ndarray) -> DIAMatrix:
-    """Static gather converting assembled ELL values to DIA values."""
-    flat = jnp.concatenate(
-        [ell_vals.reshape(-1), jnp.zeros((1,), dtype=ell_vals.dtype)])
-    vals = flat[jnp.asarray(plan.src)].reshape(len(plan.offsets), plan.n_rows)
-    return DIAMatrix(offsets=plan.offsets, vals=vals, n_rows=plan.n_rows)
+    def _replace(self, **kw) -> "DIAMatrix":
+        return dataclasses.replace(self, **kw)
 
 
 def spmv_dia(A: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:

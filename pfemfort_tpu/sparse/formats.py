@@ -13,19 +13,25 @@ zero-extended x so padded slots contribute exactly 0.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class ELLMatrix(NamedTuple):
-    """Padded ELL sparse matrix. cols (N, K) int32, vals (N, K) dtype."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ELLMatrix:
+    """Padded ELL sparse matrix. cols (N, K) int32, vals (N, K) dtype.
+
+    `n_cols` is static metadata (pytree aux), so the structure survives jit
+    boundaries without its shape parameters becoming traced arrays.
+    """
 
     cols: jax.Array  # (n_rows, K) int32; padded entries == n_cols
     vals: jax.Array  # (n_rows, K)
-    n_cols: int      # static logical column count
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_rows(self) -> int:
@@ -34,6 +40,9 @@ class ELLMatrix(NamedTuple):
     @property
     def k(self) -> int:
         return self.cols.shape[1]
+
+    def _replace(self, **kw) -> "ELLMatrix":
+        return dataclasses.replace(self, **kw)
 
 
 def round_up(x: int, m: int) -> int:

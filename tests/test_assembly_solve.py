@@ -21,6 +21,19 @@ from pfemfort_tpu.elements.poisson import poisson_element_matrices
 from pfemfort_tpu.mesh import generate
 from pfemfort_tpu.solve.cg import cg_solve, bicgstab_solve, jacobi_preconditioner
 from pfemfort_tpu.sparse.spmv import extract_diagonal, spmv_ell
+from pfemfort_tpu.elements.geometry import to_element_minor
+
+
+def _em(mesh):
+    return jnp.asarray(to_element_minor(mesh.elem_coords()))
+
+
+def _K_np(K):
+    return np.asarray(K).transpose(2, 0, 1)
+
+
+def _F_np(F):
+    return np.asarray(F).T
 
 
 def _ell_to_dense(A):
@@ -46,16 +59,15 @@ def test_assembly_matches_dense_oracle():
     mesh = generate.rect_tria(0, 1, 4, 0, 1, 4)
     dbc = _square_dirichlet(mesh, lambda p: p[:, 0] + 2 * p[:, 1])
     dofmap = build_dofmap(mesh, 1, dbc)
-    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof)
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof, layout="ell")
 
-    coords_e = jnp.asarray(mesh.elem_coords())
-    Ke, Fe = poisson_element_matrices(coords_e, "tria3", source=1.5)
+    Ke, Fe = poisson_element_matrices(_em(mesh), "tria3", source=1.5)
     A = assemble_ell_values(Ke, pattern, jnp.asarray(pattern.ell_cols))
-    ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof])
+    ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T)
     b = assemble_rhs(Fe + dirichlet_rhs_correction(Ke, ubc_e), pattern)
 
     A_ref, b_ref = dense_assemble(
-        mesh, dofmap, np.asarray(Ke), np.asarray(Fe))
+        mesh, dofmap, _K_np(Ke), _F_np(Fe))
     assert np.allclose(_ell_to_dense(A), A_ref, atol=1e-12)
     assert np.allclose(np.asarray(b), b_ref, atol=1e-12)
 
@@ -64,9 +76,8 @@ def test_spmv_and_diagonal():
     mesh = generate.rect_tria(0, 1, 3, 0, 1, 3)
     dbc = _square_dirichlet(mesh, lambda p: np.zeros(len(p)))
     dofmap = build_dofmap(mesh, 1, dbc)
-    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof)
-    coords_e = jnp.asarray(mesh.elem_coords())
-    Ke, _ = poisson_element_matrices(coords_e, "tria3")
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof, layout="ell")
+    Ke, _ = poisson_element_matrices(_em(mesh), "tria3")
     A = assemble_ell_values(Ke, pattern, jnp.asarray(pattern.ell_cols))
     dense = _ell_to_dense(A)
     x = np.random.default_rng(3).standard_normal(dofmap.total_dof)
@@ -98,9 +109,8 @@ def test_poisson_2d_matches_dense_solve():
     assert res.stats.converged
 
     dofmap = build_dofmap(mesh, 1, dbc)
-    Ke, Fe = poisson_element_matrices(
-        jnp.asarray(mesh.elem_coords()), "tria3")
-    A_ref, b_ref = dense_assemble(mesh, dofmap, np.asarray(Ke), np.asarray(Fe))
+    Ke, Fe = poisson_element_matrices(_em(mesh), "tria3")
+    A_ref, b_ref = dense_assemble(mesh, dofmap, _K_np(Ke), _F_np(Fe))
     u_ref = np.linalg.solve(A_ref, b_ref)
     assert np.allclose(np.asarray(res.u_reduced), u_ref, atol=1e-9)
 
@@ -151,9 +161,8 @@ def test_elasticity_2d_matches_dense_solve():
 
     dofmap = build_dofmap(mesh, 2, dbc)
     D = dmat_plane_stress(E_, nu)
-    Ke, Fe = elasticity_stiffness(
-        jnp.asarray(mesh.elem_coords()), "tria3", D)
-    A_ref, b_ref = dense_assemble(mesh, dofmap, np.asarray(Ke), np.asarray(Fe))
+    Ke, Fe = elasticity_stiffness(_em(mesh), "tria3", D)
+    A_ref, b_ref = dense_assemble(mesh, dofmap, _K_np(Ke), _F_np(Fe))
     for n, d, v in fbc:
         r = dofmap.node_dof[int(n), int(d)]
         if r >= 0:
@@ -184,9 +193,8 @@ def test_tria20x20_reference_mesh(tria20x20):
     res = solve_poisson(mesh, dbc, rtol=1e-10)
     assert res.stats.converged
     dofmap = build_dofmap(mesh, 1, dbc)
-    Ke, Fe = poisson_element_matrices(
-        jnp.asarray(mesh.elem_coords()), "tria3")
-    A_ref, b_ref = dense_assemble(mesh, dofmap, np.asarray(Ke), np.asarray(Fe))
+    Ke, Fe = poisson_element_matrices(_em(mesh), "tria3")
+    A_ref, b_ref = dense_assemble(mesh, dofmap, _K_np(Ke), _F_np(Fe))
     u_ref = np.linalg.solve(A_ref, b_ref)
     assert np.allclose(np.asarray(res.u_reduced), u_ref, atol=1e-8)
 

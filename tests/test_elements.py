@@ -13,7 +13,20 @@ from pfemfort_tpu.elements.elasticity import (
     elasticity_stiffness,
     lumped_mass,
 )
-from pfemfort_tpu.elements.geometry import grads_and_det
+from pfemfort_tpu.elements.geometry import grads_and_det, to_element_minor
+
+
+def _em(coords):
+    return jnp.asarray(to_element_minor(np.asarray(coords, dtype=float)))
+
+
+def _K_np(K):
+    """(ns, ns, E) device K -> (E, ns, ns) numpy for oracle comparison."""
+    return np.asarray(K).transpose(2, 0, 1)
+
+
+def _F_np(F):
+    return np.asarray(F).T
 from pfemfort_tpu.elements.poisson import poisson_element_matrices
 from pfemfort_tpu.elements.quadrature import gauss_rule
 
@@ -111,8 +124,8 @@ def test_tria3_stiffness_closed_form():
     flip = area < 0
     coords[flip] = coords[flip][:, [0, 2, 1]]
 
-    K, F = poisson_element_matrices(jnp.asarray(coords), "tria3")
-    K = np.asarray(K)
+    K, F = poisson_element_matrices(_em(coords), "tria3")
+    K = _K_np(K)
 
     for e in range(coords.shape[0]):
         x1, y1 = coords[e, 0]
@@ -124,16 +137,15 @@ def test_tria3_stiffness_closed_form():
                       [y1 - y2, x2 - x1]]) / (2 * a)
         Kref = a * (B @ B.T)
         assert np.allclose(K[e], Kref, atol=1e-12), e
-    assert np.allclose(np.asarray(F), 0.0)
+    assert np.allclose(_F_np(F), 0.0)
 
 
 def test_tetra4_stiffness_properties():
     rng = np.random.default_rng(1)
     base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=float)
     coords = base[None] + 0.05 * rng.standard_normal((10, 4, 3))
-    K, F = poisson_element_matrices(jnp.asarray(coords), "tetra4",
-                                    source=-6.0)
-    K = np.asarray(K)
+    K, F = poisson_element_matrices(_em(coords), "tetra4", source=-6.0)
+    K = _K_np(K)
     assert np.allclose(K, np.swapaxes(K, 1, 2), atol=1e-12)   # symmetric
     assert np.allclose(K.sum(axis=2), 0.0, atol=1e-10)        # constant null
     # eigenvalues nonnegative
@@ -141,7 +153,7 @@ def test_tetra4_stiffness_properties():
     assert (w > -1e-10).all()
     # source integral: F_i = -6 * V / 4 for the unit-ish tet
     V = np.abs(np.linalg.det(coords[:, 1:] - coords[:, :1])) / 6
-    assert np.allclose(np.asarray(F).sum(axis=1), -6 * V, rtol=1e-10)
+    assert np.allclose(_F_np(F).sum(axis=1), -6 * V, rtol=1e-10)
 
 
 def test_elasticity_stiffness_vs_manual():
@@ -150,9 +162,8 @@ def test_elasticity_stiffness_vs_manual():
     coords = np.array([[[0.0, 0.0], [1.1, 0.1], [0.2, 0.9]]])
     E_, nu = 240.565, 0.3
     D = dmat_plane_stress(E_, nu)
-    K, F = elasticity_stiffness(jnp.asarray(coords), "tria3", D,
-                                thickness=1.0)
-    K = np.asarray(K)[0]
+    K, F = elasticity_stiffness(_em(coords), "tria3", D, thickness=1.0)
+    K = _K_np(K)[0]
 
     # manual: 1-pt rule
     x1, y1 = coords[0, 0]
@@ -183,9 +194,9 @@ def test_elasticity_residual_consistency():
     disp = np.array([[[0.01, 0.0], [0.0, 0.02], [0.005, -0.01]]])
     E_, nu, dens = 200.0, 0.3, 10.0
     D = dmat_plane_strain(E_, nu)
+    disp_em = jnp.asarray(disp.reshape(1, 6).T)
     F = np.asarray(elasticity_residual(
-        jnp.asarray(coords), jnp.asarray(disp), "tria3", D, dens,
-        jnp.zeros(2)))[0]
+        _em(coords), disp_em, "tria3", D, dens, jnp.zeros(2))).T[0]
 
     # dense check (reference algebra, elasticity2D.F:241-271)
     a = 0.5
@@ -219,7 +230,7 @@ def test_lumped_mass_total(etype, ndim):
     vol = {"tria3": 0.5, "tria6": 0.5, "quad4": 4.0, "tetra4": 1 / 6,
            "prism6": 1.0}[etype]
     dens = 3.0
-    M = np.asarray(lumped_mass(jnp.asarray(coords), etype, dens, ndim,
+    M = np.asarray(lumped_mass(_em(coords), etype, dens, ndim,
                                ngp={"prism6": 2}.get(etype)))
     total = M.sum() / ndim
     assert np.isclose(total, dens * vol, rtol=1e-10)

@@ -21,9 +21,10 @@ def _numpy_reference_loop(mesh, dbc, E, nu, dens, dt, nsteps, pulse_t):
     ndof = 2
     dofmap = build_dofmap(mesh, ndof, dbc)
     n_full = mesh.n_node * ndof
-    coords_e = jnp.asarray(mesh.elem_coords())
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()))
 
-    Me = np.asarray(lumped_mass(coords_e, mesh.etype, dens, ndof))
+    Me = np.asarray(lumped_mass(coords_em, mesh.etype, dens, ndof)).T
     M = np.zeros(n_full)
     end = dofmap.elem_nodedof
     for e in range(mesh.n_elem):
@@ -38,9 +39,10 @@ def _numpy_reference_loop(mesh, dbc, E, nu, dens, dt, nsteps, pulse_t):
     for k in range(nsteps):
         t = k * dt
         b = np.array([1.0 if t <= pulse_t else 0.0, 0.0])
-        de = u_n.reshape(-1, ndof)[mesh.conn]
+        de = u_n[dofmap.elem_nodedof]          # (E, ns)
         Fe = np.asarray(elasticity_residual(
-            coords_e, jnp.asarray(de), mesh.etype, D, dens, jnp.asarray(b)))
+            coords_em, jnp.asarray(de.T), mesh.etype, D, dens,
+            jnp.asarray(b))).T
         rhs = np.zeros(n_full)
         for e in range(mesh.n_elem):
             for i in range(end.shape[1]):

@@ -1,0 +1,45 @@
+"""serialimpl3-parity full-system BC mode: must match the reduced system."""
+
+import numpy as np
+import pytest
+
+from pfemfort_tpu.drivers.poisson import solve_poisson
+from pfemfort_tpu.mesh import generate
+
+
+def _dbc_square(mesh, fn):
+    b = generate.boundary_nodes(mesh)
+    return np.stack([b.astype(float), np.zeros(len(b)), fn(mesh.coords[b])],
+                    axis=1)
+
+
+@pytest.mark.parametrize("method", ["cg", "bicgstab", "gmres"])
+def test_full_mode_matches_reduced_2d(method):
+    mesh = generate.rect_tria(0, 1, 8, 0, 1, 8)
+    dbc = _dbc_square(
+        mesh, lambda p: np.sin(np.pi * p[:, 0]) * (1 - p[:, 1]))
+    ref = solve_poisson(mesh, dbc, rtol=1e-12)
+    res = solve_poisson(mesh, dbc, rtol=1e-12, bc_mode="full", method=method)
+    assert bool(np.asarray(res.stats.converged)), res.stats
+    assert np.allclose(res.u_full, ref.u_full, atol=1e-8)
+    # BC rows carry exactly the applied values
+    bn = dbc[:, 0].astype(int)
+    assert np.allclose(res.u_full[bn], dbc[:, 2], atol=1e-12)
+
+
+def test_full_mode_matches_reduced_3d():
+    mesh, dbc = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 4)
+    ref = solve_poisson(mesh, dbc, rtol=1e-11)
+    res = solve_poisson(mesh, dbc, rtol=1e-11, bc_mode="full")
+    assert bool(np.asarray(res.stats.converged))
+    assert np.allclose(res.u_full, ref.u_full, atol=1e-8)
+    u_exact = (mesh.coords ** 2).sum(axis=1)
+    assert np.abs(res.u_full - u_exact).max() < 1e-8
+
+
+def test_refine_through_driver():
+    mesh, dbc = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 4)
+    res = solve_poisson(mesh, dbc, rtol=1e-10, refine=True)
+    assert bool(np.asarray(res.stats.converged))
+    u_exact = (mesh.coords ** 2).sum(axis=1)
+    assert np.abs(res.u_full - u_exact).max() < 1e-7

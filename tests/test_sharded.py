@@ -58,13 +58,14 @@ def test_sharded_cg_matches_single_device(n_shards):
     assert res.stats.converged
 
     # sharded system
-    sys_ = build_sharded_system(mesh, 1, dbc, n_shards)
-    coords_e = jnp.asarray(mesh.elem_coords())
+    sys_ = build_sharded_system(mesh, 1, dbc, n_shards, layout='ell')
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    coords_e = jnp.asarray(to_element_minor(mesh.elem_coords()))
     Ke, Fe_src = poisson_element_matrices(coords_e, "tetra4", source=-6.0)
     A = assemble_ell_values(Ke, sys_.pattern,
                             jnp.asarray(sys_.pattern.ell_cols))
     ubc_e = jnp.asarray(
-        sys_.dofmap.bc_values_full[sys_.dofmap.elem_nodedof])
+        sys_.dofmap.bc_values_full[sys_.dofmap.elem_nodedof].T)
     b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
                      sys_.pattern)
 
@@ -83,12 +84,13 @@ def test_sharded_iteration_count_close_to_serial():
     mesh, dbc = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 4)
     res = solve_poisson(mesh, dbc, rtol=1e-10)
 
-    sys_ = build_sharded_system(mesh, 1, dbc, 4)
-    coords_e = jnp.asarray(mesh.elem_coords())
+    sys_ = build_sharded_system(mesh, 1, dbc, 4, layout='ell')
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    coords_e = jnp.asarray(to_element_minor(mesh.elem_coords()))
     Ke, Fe_src = poisson_element_matrices(coords_e, "tetra4", source=-6.0)
     A = assemble_ell_values(Ke, sys_.pattern,
                             jnp.asarray(sys_.pattern.ell_cols))
-    ubc_e = jnp.asarray(sys_.dofmap.bc_values_full[sys_.dofmap.elem_nodedof])
+    ubc_e = jnp.asarray(sys_.dofmap.bc_values_full[sys_.dofmap.elem_nodedof].T)
     b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
                      sys_.pattern)
     cols_s, vals_s, b_s = shard_arrays(device_mesh, "shard",
