@@ -22,6 +22,7 @@ segment, exactly like PETSc's VEC_IGNORE_NEGATIVE_INDICES trick
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
 import numpy as np
@@ -81,7 +82,9 @@ def _offset_census(elem_dof: np.ndarray, n_rows: int,
             import jax
             import jax.numpy as jnp
 
-            @jax.jit
+            # CPU backend: avoids a minutes-long remote TPU compile for a
+            # one-shot O(nnz) bincount; CPU jit compiles in milliseconds.
+            @partial(jax.jit, backend="cpu")
             def census(edt):  # (ns, E) element-minor
                 rows = edt[:, None, :].astype(jnp.int32)
                 cols = edt[None, :, :].astype(jnp.int32)

@@ -155,8 +155,24 @@ def solve_implicit_fullsystem(
     n_full = mesh.n_node * ndof
     t0 = time.perf_counter()
     dofmap = build_dofmap(mesh, ndof, dirichlet)
-    # full system: every element slot keeps its global node-dof row
-    pattern = build_pattern(dofmap.elem_nodedof, n_full)
+    # Structured box-tet meshes skip the pattern build entirely: assembly is
+    # 96 static slice-adds into the node lattice (assembly/structured.py).
+    structured = (mesh.structure is not None
+                  and mesh.structure.get("kind") == "box_tet"
+                  and ndof == 1)
+    if structured:
+        from pfemfort_tpu.assembly.structured import (
+            assemble_dia_structured,
+            assemble_rhs_structured,
+            build_structured_plan,
+        )
+        plan = build_structured_plan(mesh.structure["nex"],
+                                     mesh.structure["ney"],
+                                     mesh.structure["nez"])
+        pattern = None
+    else:
+        # full system: every element slot keeps its global node-dof row
+        pattern = build_pattern(dofmap.elem_nodedof, n_full)
     t_pattern = time.perf_counter() - t0
 
     coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
@@ -179,8 +195,12 @@ def solve_implicit_fullsystem(
     @jax.jit
     def assemble_and_solve(coords_em, bc_vals, fvec):
         Ke, Fe_src = element_fn(coords_em)
-        A = assemble_matrix(Ke, pattern)
-        b = assemble_rhs(Fe_src, pattern) + fvec
+        if structured:
+            A = assemble_dia_structured(Ke, plan)
+            b = assemble_rhs_structured(Fe_src, plan) + fvec
+        else:
+            A = assemble_matrix(Ke, pattern)
+            b = assemble_rhs(Fe_src, pattern) + fvec
         A, b = zero_dirichlet_rows(A, b, bc_mask, bc_vals)
         operator, diag = operator_and_diag(A)
         # start from the BC values so BC residual components vanish (the

@@ -39,11 +39,17 @@ def etype_from_shape(ndim: int, npe: int) -> str:
 
 @dataclasses.dataclass
 class Mesh:
-    """An unstructured FE mesh (host-side, numpy, 0-based connectivity)."""
+    """An unstructured FE mesh (host-side, numpy, 0-based connectivity).
+
+    `structure` optionally records that the mesh came from a structured
+    generator (e.g. {'kind': 'box_tet', 'nex':.., 'ney':.., 'nez':..}),
+    unlocking the slice-add structured assembly fast path.
+    """
 
     etype: str
     coords: np.ndarray  # (n_node, ndim) float64
     conn: np.ndarray    # (n_elem, npe) int32, 0-based
+    structure: Optional[dict] = None
 
     def __post_init__(self):
         info = ELEMENT_INFO[self.etype]

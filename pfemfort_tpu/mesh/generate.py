@@ -88,7 +88,8 @@ def box_tet(x0, x1, nex, y0, y1, ney, z0, z1, nez,
     )
     hexes = (base[:, None] + offs[None, :]).astype(np.int32)
     conn = hexes[:, _TET_SPLIT].reshape(-1, 4)  # (n_hex, 6, 4) -> (6*n_hex, 4)
-    mesh = Mesh("tetra4", coords, conn)
+    mesh = Mesh("tetra4", coords, conn,
+                structure=dict(kind="box_tet", nex=nex, ney=ney, nez=nez))
 
     # Boundary nodes: all 6 faces of the lattice.
     X = coords
