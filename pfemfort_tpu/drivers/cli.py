@@ -61,9 +61,22 @@ def _write_output(args, mesh, ndof, u_full, elem_procid=None):
         print(f" Wrote {args.output}")
 
 
+def _solver_opts(args):
+    """PETSc-options-file parity: -ksp_type/-pc_type/-ksp_rtol etc.
+    (solverpetsc.F:198,209 let the reference switch solvers this way)."""
+    if getattr(args, "options_file", None):
+        from pfemfort_tpu.config import SolverOptions
+        o = SolverOptions.from_options_file(args.options_file)
+        args.rtol = o.rtol
+        if o.ksp_type in ("cg", "bicgstab"):
+            args.ksp = o.ksp_type
+    return args
+
+
 def cmd_poisson(args):
     from pfemfort_tpu.drivers.poisson import solve_poisson
 
+    _solver_opts(args)
     mesh, dbc, _ = _read(args)
     t0 = time.perf_counter()
     if args.shards and args.shards > 1:
@@ -88,6 +101,7 @@ def cmd_poisson(args):
 def cmd_elasticity(args):
     from pfemfort_tpu.drivers.elasticity import solve_elasticity
 
+    _solver_opts(args)
     mesh, dbc, fbc = _read(args, with_force=True)
     t0 = time.perf_counter()
     res = solve_elasticity(
@@ -213,6 +227,9 @@ def build_parser():
             sp.add_argument("fbc", nargs="?", default=None)
         sp.add_argument("-o", "--output", default=None,
                         help="legacy VTK output path")
+        sp.add_argument("--options-file", default=None,
+                        help="PETSc-style options file (-ksp_type, "
+                             "-pc_type, -ksp_rtol, ...)")
 
     sp = sub.add_parser("poisson", help="implicit Poisson (2D/3D)")
     add_files(sp)

@@ -52,6 +52,7 @@ class ExplicitResult(NamedTuple):
     acce: np.ndarray
     probe_history: np.ndarray  # (nsteps, n_probe*2) [disp..., velo...]
     times: np.ndarray          # (nsteps,)
+    disp_prev: np.ndarray = None  # u^{n-1}, for checkpoint/resume
 
 
 def explicit_dynamics(
@@ -70,6 +71,8 @@ def explicit_dynamics(
     dtype=None,
     snapshot_every: int = 0,
     snapshot_cb: Optional[Callable] = None,
+    init_state=None,
+    start_step: int = 0,
 ) -> ExplicitResult:
     """Run the central-difference time loop on device.
 
@@ -85,6 +88,8 @@ def explicit_dynamics(
         (ResidualElasticityLinearQuadHG).
       snapshot_every/snapshot_cb: host callback cb(step, disp_full) every k
         steps (periodic VTK output in the reference drivers).
+      init_state/start_step: resume from a dynamics.checkpoint.ExplicitState
+        (run steps [start_step, start_step+nsteps)).
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype
@@ -160,14 +165,21 @@ def explicit_dynamics(
         return (disp, disp_prev, velo), (out, acce)
 
     z = jnp.zeros(n_full, dtype=dtype)
-    carry = (z, z, z)
+    if init_state is not None:
+        carry = (jnp.asarray(init_state.disp, dtype=dtype),
+                 jnp.asarray(init_state.disp_prev, dtype=dtype),
+                 jnp.asarray(init_state.velo, dtype=dtype))
+        start_step = init_state.step
+    else:
+        carry = (z, z, z)
 
     if snapshot_every and snapshot_cb is not None:
         # Chunked scan with host snapshots between chunks.
         outs, times = [], []
-        k0 = 0
-        while k0 < nsteps:
-            kn = min(k0 + snapshot_every, nsteps)
+        k0 = start_step
+        nsteps_end = start_step + nsteps
+        while k0 < nsteps_end:
+            kn = min(k0 + snapshot_every, nsteps_end)
             ks = jnp.arange(k0, kn)
             carry, (ys, acc) = jax.lax.scan(step, carry, ks)
             outs.append(np.asarray(ys))
@@ -179,7 +191,7 @@ def explicit_dynamics(
         disp, disp_prev, velo = carry
         acce = acc[-1] if nsteps else z
     else:
-        ks = jnp.arange(nsteps)
+        ks = jnp.arange(start_step, start_step + nsteps)
         carry, (ys, acc) = jax.lax.scan(step, carry, ks)
         probe_hist = np.asarray(ys)
         times = np.asarray(ks, dtype=np.float64) * dt
@@ -192,4 +204,5 @@ def explicit_dynamics(
         acce=np.asarray(acce, dtype=np.float64),
         probe_history=probe_hist,
         times=times,
+        disp_prev=np.asarray(disp_prev, dtype=np.float64),
     )
