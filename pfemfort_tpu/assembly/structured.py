@@ -32,11 +32,13 @@ class StructuredPlan(NamedTuple):
     nex: int
     ney: int
     nez: int
-    offsets: Tuple[int, ...]          # DIA offsets (node-id differences)
-    # per (class, i, j): (d, rz, ry, rx) — diagonal index and row-corner
-    entries: Tuple[Tuple[int, int, int, int, int, int, int], ...]
-    # per (class, i): (rz, ry, rx) for the rhs
-    rhs_entries: Tuple[Tuple[int, int, int, int, int], ...]
+    ndof: int
+    offsets: Tuple[int, ...]          # DIA offsets (flat dof-id differences)
+    # per entry: (class, n_row, n_col, d, rz, ry, rx, ci) where n_row/n_col
+    # are flat element dof slots (i*ndof+ci, j*ndof+cj)
+    entries: Tuple[Tuple[int, int, int, int, int, int, int, int], ...]
+    # per (class, n_row, rz, ry, rx, ci) for the rhs
+    rhs_entries: Tuple[Tuple[int, int, int, int, int, int], ...]
 
 
 def _corner_bits(k: int) -> Tuple[int, int, int]:
@@ -44,7 +46,8 @@ def _corner_bits(k: int) -> Tuple[int, int, int]:
     return (k & 1, (k >> 1) & 1, (k >> 2) & 1)
 
 
-def build_structured_plan(nex: int, ney: int, nez: int) -> StructuredPlan:
+def build_structured_plan(nex: int, ney: int, nez: int,
+                          ndof: int = 1) -> StructuredPlan:
     nnx, nny = nex + 1, ney + 1
     sy, sz = nnx, nnx * nny
 
@@ -59,46 +62,56 @@ def build_structured_plan(nex: int, ney: int, nez: int) -> StructuredPlan:
         corners = _TET_SPLIT[c]
         for i in range(4):
             oi, (rz, ry, rx) = node_off(int(corners[i]))
-            rhs_entries.append((c, i, rz, ry, rx))
-            for j in range(4):
-                oj, _ = node_off(int(corners[j]))
-                offsets.add(oj - oi)
-                entries.append((c, i, j, oj - oi, rz, ry, rx))
+            for ci in range(ndof):
+                rhs_entries.append((c, i * ndof + ci, rz, ry, rx, ci))
+                for j in range(4):
+                    oj, _ = node_off(int(corners[j]))
+                    for cj in range(ndof):
+                        o = (oj - oi) * ndof + (cj - ci)
+                        offsets.add(o)
+                        entries.append((c, i * ndof + ci, j * ndof + cj,
+                                        o, rz, ry, rx, ci))
     offs = tuple(sorted(offsets))
     idx = {o: d for d, o in enumerate(offs)}
-    entries = tuple((c, i, j, idx[o], rz, ry, rx)
-                    for (c, i, j, o, rz, ry, rx) in entries)
-    return StructuredPlan(nex=nex, ney=ney, nez=nez, offsets=offs,
-                          entries=entries,
+    entries = tuple((c, nr, nc, idx[o], rz, ry, rx, ci)
+                    for (c, nr, nc, o, rz, ry, rx, ci) in entries)
+    return StructuredPlan(nex=nex, ney=ney, nez=nez, ndof=ndof,
+                          offsets=offs, entries=entries,
                           rhs_entries=tuple(rhs_entries))
 
 
 def assemble_dia_structured(Ke: jnp.ndarray,
                             plan: StructuredPlan) -> DIAMatrix:
-    """Ke (4, 4, E) with e = hex*6 + class -> DIA over the full node lattice.
+    """Ke (ns, ns, E) with e = hex*6 + class -> DIA over the node lattice.
 
-    96 static slice-adds; zero scatters.
+    6*ns^2 static slice-adds; zero scatters.  The DIA lattice is viewed as
+    (D, nnz, nny, nnx, ndof); entry (class, n_row, n_col) lands on diagonal
+    d at the translated hex block for component ci.
     """
     nex, ney, nez = plan.nex, plan.ney, plan.nez
     nnx, nny, nnz_ = nex + 1, ney + 1, nez + 1
+    ndof = plan.ndof
+    ns = 4 * ndof
     D = len(plan.offsets)
-    n = nnx * nny * nnz_
-    vals = jnp.zeros((D, nnz_, nny, nnx), dtype=Ke.dtype)
-    Kc = Ke.reshape(4, 4, -1, 6)  # (i, j, hex, class); hex raveled (iz,iy,ix)
-    for (c, i, j, d, rz, ry, rx) in plan.entries:
-        blk = Kc[i, j, :, c].reshape(nez, ney, nex)
-        vals = vals.at[d, rz:rz + nez, ry:ry + ney, rx:rx + nex].add(blk)
+    n = nnx * nny * nnz_ * ndof
+    vals = jnp.zeros((D, nnz_, nny, nnx, ndof), dtype=Ke.dtype)
+    Kc = Ke.reshape(ns, ns, -1, 6)  # (nr, nc, hex, class); hex = (iz,iy,ix)
+    for (c, nr, nc, d, rz, ry, rx, ci) in plan.entries:
+        blk = Kc[nr, nc, :, c].reshape(nez, ney, nex)
+        vals = vals.at[d, rz:rz + nez, ry:ry + ney, rx:rx + nex, ci].add(blk)
     return DIAMatrix(vals=vals.reshape(D, n), offsets=plan.offsets, n_rows=n)
 
 
 def assemble_rhs_structured(Fe: jnp.ndarray,
                             plan: StructuredPlan) -> jnp.ndarray:
-    """Fe (4, E) -> full nodal rhs (n,), 24 static slice-adds."""
+    """Fe (ns, E) -> full nodal-dof rhs (n,), 6*ns static slice-adds."""
     nex, ney, nez = plan.nex, plan.ney, plan.nez
     nnx, nny, nnz_ = nex + 1, ney + 1, nez + 1
-    rhs = jnp.zeros((nnz_, nny, nnx), dtype=Fe.dtype)
-    Fc = Fe.reshape(4, -1, 6)
-    for (c, i, rz, ry, rx) in plan.rhs_entries:
-        blk = Fc[i, :, c].reshape(nez, ney, nex)
-        rhs = rhs.at[rz:rz + nez, ry:ry + ney, rx:rx + nex].add(blk)
+    ndof = plan.ndof
+    ns = 4 * ndof
+    rhs = jnp.zeros((nnz_, nny, nnx, ndof), dtype=Fe.dtype)
+    Fc = Fe.reshape(ns, -1, 6)
+    for (c, nr, rz, ry, rx, ci) in plan.rhs_entries:
+        blk = Fc[nr, :, c].reshape(nez, ney, nex)
+        rhs = rhs.at[rz:rz + nez, ry:ry + ney, rx:rx + nex, ci].add(blk)
     return rhs.reshape(-1)

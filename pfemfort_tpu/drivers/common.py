@@ -159,7 +159,7 @@ def solve_implicit_fullsystem(
     # 96 static slice-adds into the node lattice (assembly/structured.py).
     structured = (mesh.structure is not None
                   and mesh.structure.get("kind") == "box_tet"
-                  and ndof == 1)
+                  and ndof <= 3)
     if structured:
         from pfemfort_tpu.assembly.structured import (
             assemble_dia_structured,
@@ -168,7 +168,7 @@ def solve_implicit_fullsystem(
         )
         plan = build_structured_plan(mesh.structure["nex"],
                                      mesh.structure["ney"],
-                                     mesh.structure["nez"])
+                                     mesh.structure["nez"], ndof=ndof)
         pattern = None
     else:
         # full system: every element slot keeps its global node-dof row

@@ -32,6 +32,7 @@ def solve_elasticity(
     maxiter: Optional[int] = None,
     method: str = "cg",
     refine: bool = False,
+    bc_mode: str = "reduced",
 ) -> ImplicitResult:
     """Static linear elasticity K u = F with Dirichlet + nodal Force BCs.
 
@@ -54,6 +55,11 @@ def solve_elasticity(
             thickness=thickness if ndim == 2 else 1.0,
             bforce=bforce)
 
+    if bc_mode == "full":
+        from pfemfort_tpu.drivers.common import solve_implicit_fullsystem
+        return solve_implicit_fullsystem(
+            mesh, ndim, dirichlet, element_fn, force_bc=force_bc,
+            dtype=dtype, rtol=rtol, maxiter=maxiter, method=method)
     return solve_implicit(
         mesh, ndim, dirichlet, element_fn, force_bc=force_bc,
         dtype=dtype, rtol=rtol, maxiter=maxiter, method=method,

@@ -89,3 +89,21 @@ def test_vtk_vector_output(tmp_path):
     path = str(tmp_path / "v.vtk")
     write_vtk(path, mesh, soln, ndof=2)
     assert "VECTORS solution float" in open(path).read()
+
+
+def test_tria1000x1000_reference_fixture():
+    """The stripped tria1000x1000 fixture (nodes + DirichBC survive; elems
+    was a large blob): our generator reproduces the node lattice exactly, so
+    the missing elems file is recoverable as rect_tria(1000x1000)."""
+    ref_dir = "/root/reference/input"
+    if not os.path.exists(f"{ref_dir}/tria1000x1000-nodes.dat.gz"):
+        pytest.skip("fixture missing")
+    coords = mesh_io.read_nodes(f"{ref_dir}/tria1000x1000-nodes.dat")
+    assert coords.shape == (1001 * 1001, 2)
+    gen = generate.rect_tria(0, 1, 1000, 0, 1, 1000)
+    # spot-check rows (full comparison is 1M nodes; sample deterministically)
+    idx = np.arange(0, coords.shape[0], 9973)
+    assert np.allclose(coords[idx], gen.coords[idx], atol=1e-7)
+    dbc = mesh_io.read_bcs(f"{ref_dir}/tria1000x1000-DirichBC.dat")
+    bn = generate.boundary_nodes(gen)
+    assert set(dbc[:, 0].astype(int)) == set(bn.tolist())

@@ -71,3 +71,50 @@ def test_structured_flag_survives_io(tmp_path):
     r1 = solve_poisson(mesh, dbc, rtol=1e-11, bc_mode="full")
     r2 = solve_poisson(mesh2, dbc2, rtol=1e-11, bc_mode="full")
     assert np.allclose(r1.u_full, r2.u_full, atol=1e-9)
+
+
+def test_structured_elasticity_matches_general():
+    """ndof=3 structured slice-add assembly == general scatter assembly."""
+    import jax.numpy as jnp
+    from pfemfort_tpu.elements.elasticity import dmat_3d, elasticity_stiffness
+
+    nex, ney, nez = 3, 3, 4
+    mesh, _ = generate.box_tet(0, 1, nex, 0, 1, ney, 0, 1, nez)
+    dofmap = build_dofmap(mesh, 3, np.zeros((0, 3)))
+    n_full = mesh.n_node * 3
+    D = dmat_3d(240.565, 0.3)
+    Ke, Fe = elasticity_stiffness(
+        jnp.asarray(to_element_minor(mesh.elem_coords())), "tetra4", D,
+        bforce=(0.1, 0.0, 0.0))
+
+    pat = build_pattern(dofmap.elem_nodedof, n_full)
+    A_gen = assemble_matrix(Ke, pat)
+    b_gen = assemble_rhs(Fe, pat)
+
+    plan = build_structured_plan(nex, ney, nez, ndof=3)
+    A_str = assemble_dia_structured(Ke, plan)
+    b_str = assemble_rhs_structured(Fe, plan)
+
+    assert np.allclose(np.asarray(b_gen), np.asarray(b_str), atol=1e-9)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(n_full))
+    op_gen, _ = operator_and_diag(A_gen)
+    assert np.allclose(np.asarray(op_gen(x)),
+                       np.asarray(spmv_dia(A_str, x)), atol=1e-7)
+
+
+def test_structured_elasticity_full_solve():
+    """Beam-like elasticity through the full-system structured path matches
+    the reduced solve."""
+    from pfemfort_tpu.drivers.elasticity import solve_elasticity
+
+    mesh, _ = generate.box_tet(0, 1, 3, 0, 1, 3, 0, 3, 9)
+    base = np.nonzero(np.isclose(mesh.coords[:, 2], 0))[0]
+    dbc = np.array([[n, d, 0.0] for n in base for d in (0, 1, 2)])
+    tip = int(np.argmax(mesh.coords[:, 2]))
+    fbc = np.array([[tip, 0, 1.0]])
+    ref = solve_elasticity(mesh, dbc, 240.565, 0.3, force_bc=fbc,
+                           rtol=1e-11)
+    res = solve_elasticity(mesh, dbc, 240.565, 0.3, force_bc=fbc,
+                           rtol=1e-11, bc_mode="full")
+    assert bool(np.asarray(res.stats.converged))
+    assert np.allclose(res.u_full, ref.u_full, atol=1e-7)
