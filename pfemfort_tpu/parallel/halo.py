@@ -42,18 +42,42 @@ def exchange_halos(x_local: jnp.ndarray, w: int, axis: str):
 
 
 def spmv_dia_halo(offsets: Tuple[int, ...], vals_local: jnp.ndarray,
-                  x_local: jnp.ndarray, w: int, axis: str) -> jnp.ndarray:
+                  x_local: jnp.ndarray, w: int, axis: str,
+                  overlap: bool = True) -> jnp.ndarray:
     """y_local = (A x)_local with one-neighbor halo exchange.
 
     vals_local: (D, P) shard rows of the DIA values; x_local: (P,).
     Row r (global row0+r) needs x[global r + o] = x_ext[w + r + o] where
     x_ext = [left_halo, x_local, right_halo] — all static slices.
+
+    With overlap=True the interior rows [w, P-w) are computed from x_local
+    only, with NO data dependency on the ppermutes — XLA schedules the
+    boundary exchange concurrently with the interior FMAs (the SpMV/comms
+    overlap PETSc does with VecScatterBegin/End around the interior MatMult).
     """
-    left, right = exchange_halos(x_local, w, axis)
-    x_ext = jnp.concatenate([left, x_local, right])
     P = x_local.shape[0]
-    y = jnp.zeros_like(x_local)
+    left, right = exchange_halos(x_local, w, axis)
+    if not overlap or P <= 2 * w:
+        x_ext = jnp.concatenate([left, x_local, right])
+        y = jnp.zeros_like(x_local)
+        for d, o in enumerate(offsets):
+            xs = jax.lax.slice_in_dim(x_ext, w + o, w + o + P)
+            y = y + vals_local[d] * xs
+        return y
+
+    mid = P - 2 * w
+    # interior rows r in [w, P-w): x index r+o in [0, P) — purely local
+    y_mid = jnp.zeros((mid,), dtype=x_local.dtype)
     for d, o in enumerate(offsets):
-        xs = jax.lax.slice_in_dim(x_ext, w + o, w + o + P)
-        y = y + vals_local[d] * xs
-    return y
+        xs = jax.lax.slice_in_dim(x_local, w + o, w + o + mid)
+        y_mid = y_mid + vals_local[d, w:P - w] * xs
+
+    x_ext = jnp.concatenate([left, x_local, right])
+    y_top = jnp.zeros((w,), dtype=x_local.dtype)
+    y_bot = jnp.zeros((w,), dtype=x_local.dtype)
+    for d, o in enumerate(offsets):
+        y_top = y_top + vals_local[d, :w] \
+            * jax.lax.slice_in_dim(x_ext, w + o, w + o + w)
+        y_bot = y_bot + vals_local[d, P - w:] \
+            * jax.lax.slice_in_dim(x_ext, P + o, P + o + w)
+    return jnp.concatenate([y_top, y_mid, y_bot])
