@@ -33,6 +33,7 @@ def solve_poisson(
     method: str = "cg",
     bc_mode: str = "reduced",
     refine: bool = False,
+    matrix_free: bool = False,
 ) -> ImplicitResult:
     """Solve -div(kappa grad u) = source with Dirichlet BCs.
 
@@ -51,6 +52,10 @@ def solve_poisson(
         return poisson_element_matrices(
             coords_e, mesh.etype, kappa=kappa, af=af, source=source)
 
+    if matrix_free:
+        return _solve_poisson_matfree(
+            mesh, dirichlet, kappa=kappa, af=af, source=source,
+            dtype=dtype, rtol=rtol, maxiter=maxiter)
     if bc_mode == "full":
         return solve_implicit_fullsystem(
             mesh, 1, dirichlet, element_fn,
@@ -59,3 +64,62 @@ def solve_poisson(
         mesh, 1, dirichlet, element_fn,
         dtype=dtype, rtol=rtol, maxiter=maxiter, method=method,
         refine=refine)
+
+
+def _solve_poisson_matfree(mesh, dirichlet, kappa, af, source,
+                           dtype, rtol, maxiter) -> ImplicitResult:
+    """Assembly-free CG: no global matrix is ever materialized."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.dofs.dofmap import build_dofmap
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
+    from pfemfort_tpu.solve.matfree import make_poisson_matfree_operator
+    import numpy as np
+
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    t0 = time.perf_counter()
+    dofmap = build_dofmap(mesh, 1, dirichlet)
+    t_pattern = time.perf_counter() - t0
+    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
+                            dtype=dtype)
+    operator, diag = make_poisson_matfree_operator(
+        coords_em, mesh.etype, dofmap, kappa=kappa, af=af)
+
+    # rhs: source term + matrix-free Dirichlet elimination
+    _, Fe_src = poisson_element_matrices(
+        coords_em, mesh.etype, kappa=kappa, af=af, source=source)
+    n = dofmap.total_dof
+    ed_t = dofmap.elem_dof.T.astype(np.int64)
+    scat = jnp.asarray(np.where(ed_t < 0, n, ed_t).astype(np.int32)
+                       ).reshape(-1)
+    ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T,
+                        dtype=dtype)
+    from pfemfort_tpu.elements.basis import tabulate_basis
+    from pfemfort_tpu.elements.geometry import grads_and_det
+    from pfemfort_tpu.elements.poisson import poisson_matfree_apply
+    _, wts, _, dNdu = tabulate_basis(mesh.etype, None)
+    gradN, det = grads_and_det(coords_em, dNdu)
+    dvol = jnp.asarray(wts, dtype=dtype)[:, None] * det
+    kap = jnp.ones((mesh.ndim,), dtype=dtype) if kappa is None \
+        else jnp.asarray(np.asarray(kappa, np.float64), dtype=dtype)
+    Fe = Fe_src - poisson_matfree_apply(ubc_e, gradN, dvol, kap, af=af)
+    b = jax.ops.segment_sum(Fe.reshape(-1), scat, num_segments=n + 1)[:-1]
+
+    if maxiter is None:
+        maxiter = max(10 * n, 1000)
+    t1 = time.perf_counter()
+    u, stats = jax.jit(lambda b: cg_solve(
+        operator, b, precond=jacobi_preconditioner(diag),
+        rtol=rtol, maxiter=maxiter))(b)
+    u = jax.block_until_ready(u)
+    t_solve = time.perf_counter() - t1
+    u_full = dofmap.expand_solution(np.asarray(u, dtype=np.float64))
+    return ImplicitResult(
+        u_full=u_full, u_reduced=u,
+        stats=jax.tree.map(lambda a: np.asarray(a), stats),
+        timings=dict(pattern_s=t_pattern, solve_s=t_solve))
