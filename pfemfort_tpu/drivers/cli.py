@@ -138,12 +138,24 @@ def cmd_explicit(args):
             b = b * jnp.where(t <= preset.pulse_t, 1.0, 0.0)
         return b
 
+    snapshot_cb = None
+    if args.vtk_every and args.output:
+        from pfemfort_tpu.io.vtk import write_vtk
+        stem = args.output[:-4] if args.output.endswith(".vtk") \
+            else args.output
+
+        def snapshot_cb(step, disp_full):
+            path = f"{stem}-{step:05d}.vtk"
+            write_vtk(path, mesh, disp_full, ndim)
+            print(f" Wrote {path}")
+
     t0 = time.perf_counter()
     res = explicit_dynamics(
         mesh, dbc, preset.E, preset.nu, preset.dens, dt, nsteps,
         bforce_fn=bforce_fn, force_bc=fbc,
         probe_dofs=args.probe or preset.probe_dofs,
-        thickness=preset.thickness, use_hourglass=preset.use_hourglass)
+        thickness=preset.thickness, use_hourglass=preset.use_hourglass,
+        snapshot_every=args.vtk_every, snapshot_cb=snapshot_cb)
     print(f" {nsteps} steps in {time.perf_counter() - t0:.3f} seconds")
     if (args.probe or preset.probe_dofs):
         # reference writes timeNow disp... velo... (triaelasticityexplicit.F:1098)
@@ -156,6 +168,26 @@ def cmd_explicit(args):
 
         write_vtk(args.output, mesh, res.disp, ndim)
         print(f" Wrote {args.output}")
+    return 0
+
+
+def cmd_cfd(args):
+    """Lid-driven-cavity style incompressible NS (the working version of the
+    reference's abandoned cfdexplicittria6node)."""
+    from pfemfort_tpu.cfd.navierstokes import fractional_step_ns
+
+    mesh, vbc, _ = _read(args, with_force=False)
+    t0 = time.perf_counter()
+    res = fractional_step_ns(mesh, vbc, nu_visc=args.nu_visc, dt=args.dt,
+                             nsteps=args.nsteps)
+    print(f" {args.nsteps} steps in {time.perf_counter() - t0:.3f} seconds; "
+          f"final max|div u| = {float(res.div_history[-1]):.3e}")
+    if args.output:
+        from pfemfort_tpu.io.vtk import write_vtk
+        sol = np.concatenate(
+            [res.velocity, res.pressure[:, None]], axis=1).reshape(-1)
+        write_vtk(args.output, mesh, sol, 3)
+        print(f" Wrote {args.output} (vector = u,v,p)")
     return 0
 
 
@@ -260,7 +292,17 @@ def build_parser():
     sp.add_argument("--probe", type=int, nargs="*", default=None,
                     help="0-based global node-dof indices to record")
     sp.add_argument("--probe-out", default="solnoutput.dat")
+    sp.add_argument("--vtk-every", type=int, default=0,
+                    help="write <output-stem>-NNNNN.vtk every k steps (the "
+                         "reference's Elasticity-soln-NNNNN.vtk series)")
     sp.set_defaults(fn=cmd_explicit)
+
+    sp = sub.add_parser("cfd", help="incompressible NS fractional step")
+    add_files(sp)
+    sp.add_argument("--nu-visc", type=float, default=0.05)
+    sp.add_argument("--dt", type=float, default=2e-3)
+    sp.add_argument("--nsteps", type=int, default=500)
+    sp.set_defaults(fn=cmd_cfd)
 
     sp = sub.add_parser("genmesh", help="generate structured meshes")
     sp.add_argument("shape", choices=["tet", "tria"])

@@ -80,3 +80,35 @@ def test_cli_partition_and_vtktovtu(tet_prefix, tmp_path, capsys):
     rc = main(["vtktovtu", out, vtu])
     assert rc == 0
     assert "<VTKFile" in open(vtu).read()
+
+
+def test_cli_cfd_cavity(tmp_path, capsys):
+    from pfemfort_tpu.mesh import generate, io as mesh_io
+    from tests.test_cfd import _cavity_bcs
+    mesh = generate.rect_tria(0, 1, 6, 0, 1, 6)
+    bcs = _cavity_bcs(mesh)
+    mesh_io.write_dat(str(tmp_path / "cav"), mesh, dirichlet=bcs)
+    out = str(tmp_path / "cav.vtk")
+    rc = main(["cfd", str(tmp_path / "cav-nodes.dat"),
+               str(tmp_path / "cav-elems.dat"),
+               str(tmp_path / "cav-DirichBC.dat"),
+               "--nsteps", "30", "-o", out])
+    assert rc == 0
+    assert "max|div u|" in capsys.readouterr().out
+    assert os.path.exists(out)
+
+
+def test_cli_explicit_vtk_series(tmp_path, capsys):
+    from pfemfort_tpu.mesh import generate, io as mesh_io
+    import numpy as np
+    mesh = generate.rect_tria(0, 1, 3, 0, 1, 2)
+    left = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
+    dbc = np.array([[n, d, 0.0] for n in left for d in (0, 1)])
+    mesh_io.write_dat(str(tmp_path / "m"), mesh, dirichlet=dbc)
+    rc = main(["explicit", str(tmp_path / "m-nodes.dat"),
+               str(tmp_path / "m-elems.dat"), str(tmp_path / "m-DirichBC.dat"),
+               "--preset", "tria", "--nsteps", "10",
+               "--vtk-every", "5", "-o", str(tmp_path / "soln.vtk")])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "soln-00005.vtk"))
+    assert os.path.exists(str(tmp_path / "soln-00010.vtk"))
