@@ -46,38 +46,101 @@ def _corner_bits(k: int) -> Tuple[int, int, int]:
     return (k & 1, (k >> 1) & 1, (k >> 2) & 1)
 
 
-def build_structured_plan(nex: int, ney: int, nez: int,
-                          ndof: int = 1) -> StructuredPlan:
-    nnx, nny = nex + 1, ney + 1
-    sy, sz = nnx, nnx * nny
+# rect_tria classes (bl,br,tr)+(bl,tr,tl) as (by, bx) lattice corners:
+_CLASSES_2D_TRIA = (
+    ((0, 0), (0, 1), (1, 1)),
+    ((0, 0), (1, 1), (1, 0)),
+)
 
-    def node_off(corner):
-        bx, by, bz = _corner_bits(corner)
-        return bx + by * sy + bz * sz, (bz, by, bx)
 
+def _generic_plan(classes, dims, strides, ndof):
+    """classes: per class, tuple of corner lattice coords (slowest..fastest);
+    dims = (nez, ney, nex) or (ney, nex); strides = node-id stride per axis."""
     offsets = set()
     entries = []
     rhs_entries = []
-    for c in range(6):
-        corners = _TET_SPLIT[c]
-        for i in range(4):
-            oi, (rz, ry, rx) = node_off(int(corners[i]))
+    npe = len(classes[0])
+    for c, corners in enumerate(classes):
+        for i in range(npe):
+            ri = corners[i]
+            oi = sum(b * s for b, s in zip(ri, strides))
             for ci in range(ndof):
-                rhs_entries.append((c, i * ndof + ci, rz, ry, rx, ci))
-                for j in range(4):
-                    oj, _ = node_off(int(corners[j]))
+                rhs_entries.append((c, i * ndof + ci) + tuple(ri) + (ci,))
+                for j in range(npe):
+                    oj = sum(b * s for b, s in zip(corners[j], strides))
                     for cj in range(ndof):
                         o = (oj - oi) * ndof + (cj - ci)
                         offsets.add(o)
-                        entries.append((c, i * ndof + ci, j * ndof + cj,
-                                        o, rz, ry, rx, ci))
+                        entries.append((c, i * ndof + ci, j * ndof + cj, o)
+                                       + tuple(ri) + (ci,))
     offs = tuple(sorted(offsets))
     idx = {o: d for d, o in enumerate(offs)}
-    entries = tuple((c, nr, nc, idx[o], rz, ry, rx, ci)
-                    for (c, nr, nc, o, rz, ry, rx, ci) in entries)
+    entries = tuple(e[:3] + (idx[e[3]],) + e[4:] for e in entries)
+    return offs, entries, tuple(rhs_entries)
+
+
+def build_structured_plan(nex: int, ney: int, nez: int,
+                          ndof: int = 1) -> StructuredPlan:
+    nnx, nny = nex + 1, ney + 1
+    # corners in (bz, by, bx) order, strides (sz, sy, sx)
+    classes = tuple(
+        tuple(_corner_bits(int(c))[::-1] for c in _TET_SPLIT[cl])
+        for cl in range(6))
+    offs, entries, rhs_entries = _generic_plan(
+        classes, (nez, ney, nex), (nnx * nny, nnx, 1), ndof)
     return StructuredPlan(nex=nex, ney=ney, nez=nez, ndof=ndof,
                           offsets=offs, entries=entries,
-                          rhs_entries=tuple(rhs_entries))
+                          rhs_entries=rhs_entries)
+
+
+class StructuredPlan2D(NamedTuple):
+    nex: int
+    ney: int
+    ndof: int
+    offsets: Tuple[int, ...]
+    entries: Tuple[tuple, ...]      # (class, nr, nc, d, ry, rx, ci)
+    rhs_entries: Tuple[tuple, ...]  # (class, nr, ry, rx, ci)
+
+
+def build_structured_plan_2d(nex: int, ney: int,
+                             ndof: int = 1) -> StructuredPlan2D:
+    """rect_tria lattice: 2 triangles per cell, node numbering x-fastest."""
+    nnx = nex + 1
+    offs, entries, rhs_entries = _generic_plan(
+        _CLASSES_2D_TRIA, (ney, nex), (nnx, 1), ndof)
+    return StructuredPlan2D(nex=nex, ney=ney, ndof=ndof, offsets=offs,
+                            entries=entries, rhs_entries=rhs_entries)
+
+
+def assemble_dia_structured_2d(Ke: jnp.ndarray,
+                               plan: StructuredPlan2D) -> DIAMatrix:
+    """Ke (ns, ns, E) with e = cell*2 + class -> DIA over the 2D lattice."""
+    nex, ney = plan.nex, plan.ney
+    nnx, nny = nex + 1, ney + 1
+    ndof = plan.ndof
+    ns = 3 * ndof
+    D = len(plan.offsets)
+    n = nnx * nny * ndof
+    vals = jnp.zeros((D, nny, nnx, ndof), dtype=Ke.dtype)
+    Kc = Ke.reshape(ns, ns, -1, 2)
+    for (c, nr, nc, d, ry, rx, ci) in plan.entries:
+        blk = Kc[nr, nc, :, c].reshape(ney, nex)
+        vals = vals.at[d, ry:ry + ney, rx:rx + nex, ci].add(blk)
+    return DIAMatrix(vals=vals.reshape(D, n), offsets=plan.offsets, n_rows=n)
+
+
+def assemble_rhs_structured_2d(Fe: jnp.ndarray,
+                               plan: StructuredPlan2D) -> jnp.ndarray:
+    nex, ney = plan.nex, plan.ney
+    nnx, nny = nex + 1, ney + 1
+    ndof = plan.ndof
+    ns = 3 * ndof
+    rhs = jnp.zeros((nny, nnx, ndof), dtype=Fe.dtype)
+    Fc = Fe.reshape(ns, -1, 2)
+    for (c, nr, ry, rx, ci) in plan.rhs_entries:
+        blk = Fc[nr, :, c].reshape(ney, nex)
+        rhs = rhs.at[ry:ry + ney, rx:rx + nex, ci].add(blk)
+    return rhs.reshape(-1)
 
 
 def assemble_dia_structured(Ke: jnp.ndarray,

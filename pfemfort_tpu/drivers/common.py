@@ -157,18 +157,22 @@ def solve_implicit_fullsystem(
     dofmap = build_dofmap(mesh, ndof, dirichlet)
     # Structured box-tet meshes skip the pattern build entirely: assembly is
     # 96 static slice-adds into the node lattice (assembly/structured.py).
-    structured = (mesh.structure is not None
-                  and mesh.structure.get("kind") == "box_tet"
-                  and ndof <= 3)
+    kind = (mesh.structure or {}).get("kind")
+    structured = kind in ("box_tet", "rect_tria") and ndof <= 3
     if structured:
-        from pfemfort_tpu.assembly.structured import (
-            assemble_dia_structured,
-            assemble_rhs_structured,
-            build_structured_plan,
-        )
-        plan = build_structured_plan(mesh.structure["nex"],
-                                     mesh.structure["ney"],
-                                     mesh.structure["nez"], ndof=ndof)
+        from pfemfort_tpu.assembly import structured as st
+
+        if kind == "box_tet":
+            plan = st.build_structured_plan(
+                mesh.structure["nex"], mesh.structure["ney"],
+                mesh.structure["nez"], ndof=ndof)
+            assemble_dia_structured = st.assemble_dia_structured
+            assemble_rhs_structured = st.assemble_rhs_structured
+        else:
+            plan = st.build_structured_plan_2d(
+                mesh.structure["nex"], mesh.structure["ney"], ndof=ndof)
+            assemble_dia_structured = st.assemble_dia_structured_2d
+            assemble_rhs_structured = st.assemble_rhs_structured_2d
         pattern = None
     else:
         # full system: every element slot keeps its global node-dof row

@@ -119,7 +119,8 @@ def rect_tria(x0, x1, nex, y0, y1, ney) -> Mesh:
     t1 = np.stack([bl, br, tr], axis=1)
     t2 = np.stack([bl, tr, tl], axis=1)
     conn = np.concatenate([t1[:, None, :], t2[:, None, :]], axis=1).reshape(-1, 3)
-    return Mesh("tria3", coords, conn.astype(np.int32))
+    return Mesh("tria3", coords, conn.astype(np.int32),
+                structure=dict(kind="rect_tria", nex=nex, ney=ney))
 
 
 def rect_quad(x0, x1, nex, y0, y1, ney) -> Mesh:

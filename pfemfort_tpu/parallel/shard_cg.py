@@ -58,11 +58,19 @@ def distributed_cg_solve(
             return jax.lax.psum(
                 jnp.dot(a, c, precision=jax.lax.Precision.HIGHEST), axis)
 
+        def dot2(a, c, d, e):
+            # single fused reduction for two inner products
+            pair = jnp.stack([
+                jnp.dot(a, c, precision=jax.lax.Precision.HIGHEST),
+                jnp.dot(d, e, precision=jax.lax.Precision.HIGHEST)])
+            pair = jax.lax.psum(pair, axis)
+            return pair[0], pair[1]
+
         diag = local_diag(cols_l, vals_l, row0)
         x_l, stats = cg_solve(
             operator, b_l,
             precond=jacobi_preconditioner(diag),
-            rtol=rtol, maxiter=maxiter, dot=dot)
+            rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
         return x_l, stats
 
     mapped = jax.shard_map(
@@ -117,11 +125,18 @@ def distributed_cg_solve_dia(
             return jax.lax.psum(
                 jnp.dot(a, c, precision=jax.lax.Precision.HIGHEST), axis)
 
+        def dot2(a, c, d, e):
+            pair = jnp.stack([
+                jnp.dot(a, c, precision=jax.lax.Precision.HIGHEST),
+                jnp.dot(d, e, precision=jax.lax.Precision.HIGHEST)])
+            pair = jax.lax.psum(pair, axis)
+            return pair[0], pair[1]
+
         diag = vals_l[d0] if d0 is not None else jnp.zeros_like(b_l)
         x_l, stats = cg_solve(
             operator, b_l,
             precond=jacobi_preconditioner(diag),
-            rtol=rtol, maxiter=maxiter, dot=dot)
+            rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
         return x_l, stats
 
     mapped = jax.shard_map(

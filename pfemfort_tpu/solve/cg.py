@@ -39,6 +39,7 @@ def cg_solve(
     atol: float = 0.0,
     maxiter: int = 10_000,
     dot: Callable = _default_dot,
+    dot2: Callable = None,
 ):
     """Preconditioned conjugate gradients.
 
@@ -47,8 +48,13 @@ def cg_solve(
       b: right-hand side.
       precond: r -> M^{-1} r (default: identity).
       dot: inner product (psum-wrapped inside shard_map for multi-chip).
+      dot2: optional fused pair-reduction ((a,b),(c,d)) -> (a.b, c.d); lets
+        distributed callers collapse the two per-iteration reductions after
+        the preconditioner into ONE psum (latency matters on large meshes).
     Returns (x, SolveStats).
     """
+    if dot2 is None:
+        dot2 = lambda a, b, c, d: (dot(a, b), dot(c, d))
     if precond is None:
         precond = lambda r: r
     if x0 is None:
@@ -74,10 +80,10 @@ def cg_solve(
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
-        rz_new = dot(r, z)
+        rz_new, rr = dot2(r, z, r, r)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, dot(r, r), k + 1)
+        return (x, r, z, p, rz_new, rr, k + 1)
 
     state = (x0, r0, z0, z0, rz0, rr0, jnp.int32(0))
     x, r, z, p, rz, rr, k = jax.lax.while_loop(cond, body, state)

@@ -118,3 +118,44 @@ def test_structured_elasticity_full_solve():
                            rtol=1e-11, bc_mode="full")
     assert bool(np.asarray(res.stats.converged))
     assert np.allclose(res.u_full, ref.u_full, atol=1e-7)
+
+
+def test_structured_2d_matches_general():
+    import jax.numpy as jnp
+    from pfemfort_tpu.assembly.structured import (
+        assemble_dia_structured_2d,
+        assemble_rhs_structured_2d,
+        build_structured_plan_2d,
+    )
+    from pfemfort_tpu.elements.poisson import poisson_element_matrices
+
+    nex, ney = 5, 4
+    mesh = generate.rect_tria(0, 1, nex, 0, 2, ney)
+    dofmap = build_dofmap(mesh, 1, np.zeros((0, 3)))
+    n_full = mesh.n_node
+    Ke, Fe = poisson_element_matrices(
+        jnp.asarray(to_element_minor(mesh.elem_coords())), "tria3",
+        source=2.0)
+    pat = build_pattern(dofmap.elem_nodedof, n_full)
+    A_gen = assemble_matrix(Ke, pat)
+    b_gen = assemble_rhs(Fe, pat)
+
+    plan = build_structured_plan_2d(nex, ney)
+    A_str = assemble_dia_structured_2d(Ke, plan)
+    b_str = assemble_rhs_structured_2d(Fe, plan)
+
+    assert np.allclose(np.asarray(b_gen), np.asarray(b_str), atol=1e-12)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(n_full))
+    op_gen, _ = operator_and_diag(A_gen)
+    assert np.allclose(np.asarray(op_gen(x)),
+                       np.asarray(spmv_dia(A_str, x)), atol=1e-10)
+
+
+def test_structured_2d_full_solve():
+    mesh = generate.rect_tria(0, 1, 12, 0, 1, 12)
+    b = generate.boundary_nodes(mesh)
+    dbc = np.stack([b.astype(float), np.zeros(len(b)),
+                    np.sin(np.pi * mesh.coords[b, 0])], axis=1)
+    ref = solve_poisson(mesh, dbc, rtol=1e-12)
+    res = solve_poisson(mesh, dbc, rtol=1e-12, bc_mode="full")
+    assert np.allclose(res.u_full, ref.u_full, atol=1e-9)
