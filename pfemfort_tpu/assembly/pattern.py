@@ -22,7 +22,7 @@ segment, exactly like PETSc's VEC_IGNORE_NEGATIVE_INDICES trick
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Optional, Tuple
 
 import numpy as np
@@ -82,9 +82,14 @@ def _offset_census(elem_dof: np.ndarray, n_rows: int,
             import jax
             import jax.numpy as jnp
 
-            # CPU backend: avoids a minutes-long remote TPU compile for a
-            # one-shot O(nnz) bincount; CPU jit compiles in milliseconds.
-            @partial(jax.jit, backend="cpu")
+            # Keep the WHOLE census on the host CPU backend: routing the
+            # 85MB index array through the remote TPU costs minutes (slow
+            # tunnel transfer + abysmal int32 scatter-add on TPU), while the
+            # CPU jit runs in ~1s.  The input must be explicitly placed on a
+            # CPU device or jnp.asarray commits it to the default (TPU).
+            cpu = jax.local_devices(backend="cpu")[0]
+
+            @jax.jit
             def census(edt):  # (ns, E) element-minor
                 rows = edt[:, None, :].astype(jnp.int32)
                 cols = edt[None, :, :].astype(jnp.int32)
@@ -93,8 +98,9 @@ def _offset_census(elem_dof: np.ndarray, n_rows: int,
                 return jnp.zeros(2 * n_rows + 1, jnp.int32).at[
                     offs.reshape(-1)].add(1)
 
-            cnt = np.asarray(census(jnp.asarray(elem_dof.T,
-                                                dtype=jnp.int32)))
+            edt = jax.device_put(
+                np.ascontiguousarray(elem_dof.T, dtype=np.int32), cpu)
+            cnt = np.asarray(census(edt))
             return np.nonzero(cnt[:2 * n_rows])[0] - n_rows
         except Exception:
             pass
