@@ -20,6 +20,13 @@ import time
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+
+def _sync(*arrays):
+    """Force completion: scalar readback (block_until_ready is unreliable
+    on the axon remote platform — it can return before execution)."""
+    import jax.numpy as jnp
+    return [float(jnp.sum(a)) for a in arrays]
+
 import numpy as np
 
 BASELINE_NNZ_PER_S = 1.0e9
@@ -76,15 +83,13 @@ def main():
     # --- assembly throughput ---
     t0 = time.perf_counter()
     A, b = assemble(coords_e, ubc_e)  # compile+warm
-    A.vals.block_until_ready()
-    b.block_until_ready()
+    _sync(A.vals, b)
     _log(f"assemble compile+run {time.perf_counter()-t0:.1f}s")
     t_asm = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         A, b = assemble(coords_e, ubc_e)
-        A.vals.block_until_ready()
-        b.block_until_ready()
+        _sync(A.vals, b)
         t_asm = min(t_asm, time.perf_counter() - t0)
     elems_per_s = mesh.n_elem / t_asm
     _log(f"assembly {t_asm*1e3:.0f}ms -> {elems_per_s/1e6:.1f}M elems/s")
@@ -134,14 +139,15 @@ def main():
                     return y / (jnp.max(jnp.abs(y)) + 1e-30)
                 return jax.lax.fori_loop(0, iters, body, x)
 
-            yp = jax.block_until_ready(pspmv_chain(A.vals, x))
+            yp = pspmv_chain(A.vals, x)
+            _sync(yp)
             err = float(jnp.max(jnp.abs(
                 spmv_dia_pallas(A._replace(vals=A.vals), x)
                 - spmv_chain(A.vals, x, 1))))
             t0 = time.perf_counter()
             for _ in range(reps):
                 yp = pspmv_chain(A.vals, x)
-            jax.block_until_ready(yp)
+            _sync(yp)
             t_p = (time.perf_counter() - t0) / (reps * 50)
             pallas_nnz_per_s = nnz / t_p
             _log(f"pallas spmv {t_p*1e6:.0f}us -> "
@@ -151,6 +157,37 @@ def main():
                  f"{str(ex)[:120]}")
     nnz_per_s = max(nnz_per_s, pallas_nnz_per_s)
 
+    # --- structured slice-add assembly (the scatter-free fast path the
+    # generated box meshes unlock; full-system rows) ---
+    structured_elems_per_s = 0.0
+    if mesh.structure is not None:
+        from pfemfort_tpu.assembly.structured import (
+            assemble_dia_structured, build_structured_plan)
+        from pfemfort_tpu.elements.geometry import to_element_minor as _em
+
+        plan = build_structured_plan(n, n, n)
+
+        @jax.jit
+        def assemble_structured(coords_e):
+            Ke, _ = poisson_element_matrices(coords_e, "tetra4",
+                                             source=-6.0)
+            return assemble_dia_structured(Ke, plan)
+
+        t0 = time.perf_counter()
+        As = assemble_structured(coords_e)
+        _sync(As.vals)
+        _log(f"structured assemble compile+run {time.perf_counter()-t0:.1f}s")
+        t_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            As = assemble_structured(coords_e)
+            _sync(As.vals)
+            t_s = min(t_s, time.perf_counter() - t0)
+        structured_elems_per_s = mesh.n_elem / t_s
+        _log(f"structured assembly {t_s*1e3:.0f}ms -> "
+             f"{structured_elems_per_s/1e6:.1f}M elems/s")
+        del As
+
     # --- full f32 CG solve ---
     @jax.jit
     def solve(A_vals, b):
@@ -159,10 +196,12 @@ def main():
                         precond=jacobi_preconditioner(diag),
                         rtol=1e-6, maxiter=5000)
     t0 = time.perf_counter()
-    u, stats = jax.block_until_ready(solve(A.vals, b))
+    u, stats = solve(A.vals, b)
+    _sync(u)
     _log(f"cg compile+run {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
-    u, stats = jax.block_until_ready(solve(A.vals, b))
+    u, stats = solve(A.vals, b)
+    _sync(u)
     t_solve = time.perf_counter() - t0
     _log(f"cg f32 {t_solve:.2f}s, {int(np.asarray(stats.iters))} iters")
 
@@ -179,7 +218,7 @@ def main():
         op64, op32, b64,
         precond32=jacobi_preconditioner(diag32),
         rtol=1e-8, inner_rtol=1e-5)
-    jax.block_until_ready(x64)
+    _sync(x64)
     t_refine = time.perf_counter() - t0
     _log(f"refined solve {t_refine:.1f}s")
     u_exact = (mesh.coords ** 2).sum(axis=1)
@@ -199,6 +238,7 @@ def main():
             "dia_offsets": pattern.n_offsets,
             "host_setup_s": float(t_host),
             "assembly_elems_per_s": float(elems_per_s),
+            "structured_assembly_elems_per_s": float(structured_elems_per_s),
             "assembly_s": float(t_asm),
             "spmv_s": float(t_spmv),
             "spmv_pallas_nnz_per_s": float(pallas_nnz_per_s),

@@ -124,8 +124,6 @@ def fractional_step_ns(
     Kp, _ = poisson_element_matrices(coords_em, "tria3")
     Ap = assemble_matrix(Kp, pat_p)
     op_p, diag_p = operator_and_diag(Ap)
-    pmap = jnp.asarray(dof_p.node_dof[:, 0])  # node -> reduced row (-1 pin)
-    prow_of_node = dof_p.node_dof[:, 0]
     scatter_p = jnp.asarray(dof_p.assy_for_soln)  # reduced row -> node
 
     # velocity BC masks

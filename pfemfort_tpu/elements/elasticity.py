@@ -347,7 +347,6 @@ def quad_hg_residual(
         -(x[3] - x[1]) / fact,
         -(x[0] - x[2]) / fact,
     ])
-    Dj = jnp.asarray(dmat_plane_stress(E, nu), dtype=dtype)
 
     d3 = disp_em.reshape(4, 2, -1)
     ux, uy = d3[:, 0, :], d3[:, 1, :]   # (4, E)
