@@ -205,6 +205,58 @@ def main():
     t_solve = time.perf_counter() - t0
     _log(f"cg f32 {t_solve:.2f}s, {int(np.asarray(stats.iters))} iters")
 
+    # --- geometric-multigrid CG on the full-node lattice system (the
+    # PC=hypre analog; solve/multigrid.py) ---
+    mg_iters, mg_solve_s = -1, float("inf")
+    if mesh.structure is not None:
+        from pfemfort_tpu.assembly.fullsystem import zero_dirichlet_rows
+        from pfemfort_tpu.assembly.structured import (
+            assemble_rhs_structured, build_structured_plan)
+        from pfemfort_tpu.dofs.dofmap import build_dofmap as _bd
+        from pfemfort_tpu.solve.multigrid import (
+            build_gmg, gmg_preconditioner)
+
+        element_fn = lambda c: poisson_element_matrices(
+            c, "tetra4", source=-6.0)
+        bc_mask_np = ~dofmap.free_mask_full()
+        t0 = time.perf_counter()
+        mg = build_gmg(mesh, 1, bc_mask_np, element_fn, dtype=dtype)
+        plan_mg = build_structured_plan(n, n, n)
+        bc_mask_j = jnp.asarray(bc_mask_np)
+        bc_vals_j = jnp.asarray(dofmap.bc_values_full, dtype=dtype)
+        _log(f"mg setup {time.perf_counter()-t0:.1f}s "
+             f"({len(mg[0].mats)} levels)")
+
+        @jax.jit
+        def solve_mg(coords_e, mg_arrays):
+            Ke, Fe_src = poisson_element_matrices(coords_e, "tetra4",
+                                                  source=-6.0)
+            from pfemfort_tpu.assembly.structured import (
+                assemble_dia_structured)
+            Af = assemble_dia_structured(Ke, plan_mg)
+            bf = assemble_rhs_structured(Fe_src, plan_mg)
+            Af, bf = zero_dirichlet_rows(Af, bf, bc_mask_j, bc_vals_j)
+            opf, _ = operator_and_diag(Af)
+            x0 = jnp.where(bc_mask_j, bc_vals_j, 0.0)
+            return cg_solve(opf, bf, x0=x0,
+                            precond=gmg_preconditioner(mg_arrays, mg[1]),
+                            rtol=1e-6, maxiter=100)
+
+        t0 = time.perf_counter()
+        umg, mstats = solve_mg(coords_e, mg[0])
+        _sync(umg)
+        _log(f"mg-cg compile+run {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        umg, mstats = solve_mg(coords_e, mg[0])
+        _sync(umg)
+        mg_solve_s = time.perf_counter() - t0
+        mg_iters = int(np.asarray(mstats.iters))
+        err_mg = float(jnp.max(jnp.abs(
+            umg - jnp.asarray((mesh.coords ** 2).sum(axis=1), dtype=dtype))))
+        _log(f"mg-cg f32 {mg_solve_s:.2f}s, {mg_iters} iters, "
+             f"nodal err {err_mg:.1e}")
+        del umg
+
     # --- mixed-precision refined solve to 1e-8 (true f64 residual) ---
     coords64 = jnp.asarray(to_element_minor(mesh.elem_coords()),
                            dtype=jnp.float64)
@@ -245,6 +297,8 @@ def main():
             "cg_f32_iters": int(np.asarray(stats.iters)),
             "cg_f32_relres": float(np.asarray(stats.relres)),
             "cg_f32_solve_s": float(t_solve),
+            "mg_cg_iters": mg_iters,
+            "mg_cg_solve_s": float(mg_solve_s),
             "refined_inner_iters": int(rstats.total_inner_iters),
             "refined_outer_iters": int(rstats.outer_iters),
             "refined_relres_f64": float(rstats.relres),

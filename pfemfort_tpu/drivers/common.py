@@ -139,6 +139,7 @@ def solve_implicit_fullsystem(
     rtol: float = 1e-8,
     maxiter: Optional[int] = None,
     method: str = "cg",
+    precond: str = "jacobi",
 ) -> ImplicitResult:
     """serialimpl3-parity path: full-size DOF system + MatZeroRows BCs
     (/root/reference/src/triapoissonserialimpl3.F:351-359, 557-558).
@@ -146,6 +147,11 @@ def solve_implicit_fullsystem(
     TPU advantage of this mode: no reduced renumbering, so structured meshes
     keep their pristine lattice offsets (often fewer DIA offsets than the
     reduced system) and the solution vector maps 1:1 to node-dofs.
+
+    precond: 'jacobi' (reference-default class) or 'mg' — geometric
+    multigrid V-cycle on structured lattices (the PC=hypre analog the
+    reference offers via its options file; solve/multigrid.py).  'mg'
+    silently falls back to Jacobi when the mesh has no lattice structure.
     """
     from pfemfort_tpu.assembly.fullsystem import zero_dirichlet_rows
     from pfemfort_tpu.solve.gmres import gmres_solve
@@ -196,8 +202,15 @@ def solve_implicit_fullsystem(
     solver = {"cg": cg_solve, "bicgstab": bicgstab_solve,
               "gmres": gmres_solve}[method]
 
+    mg = None
+    if precond == "mg" and structured:
+        from pfemfort_tpu.solve.multigrid import build_gmg, gmg_preconditioner
+
+        mg = build_gmg(mesh, ndof, np.asarray(bc_mask), element_fn,
+                       dtype=dtype)
+
     @jax.jit
-    def assemble_and_solve(coords_em, bc_vals, fvec):
+    def assemble_and_solve(coords_em, bc_vals, fvec, mg_arrays):
         Ke, Fe_src = element_fn(coords_em)
         if structured:
             A = assemble_dia_structured(Ke, plan)
@@ -207,17 +220,22 @@ def solve_implicit_fullsystem(
             b = assemble_rhs(Fe_src, pattern) + fvec
         A, b = zero_dirichlet_rows(A, b, bc_mask, bc_vals)
         operator, diag = operator_and_diag(A)
+        if mg_arrays is not None:
+            pc = gmg_preconditioner(mg_arrays, mg[1])
+        else:
+            pc = jacobi_preconditioner(diag)
         # start from the BC values so BC residual components vanish (the
         # property that lets the reference run CG on this system)
         x0 = jnp.where(bc_mask, bc_vals, 0.0)
         u, stats = solver(
             operator, b, x0=x0,
-            precond=jacobi_preconditioner(diag),
+            precond=pc,
             rtol=rtol, maxiter=maxiter)
         return u, stats
 
     t1 = time.perf_counter()
-    u, stats = assemble_and_solve(coords_em, bc_vals, fvec)
+    u, stats = assemble_and_solve(coords_em, bc_vals, fvec,
+                                  mg[0] if mg is not None else None)
     u = jax.block_until_ready(u)
     t_solve = time.perf_counter() - t1
 

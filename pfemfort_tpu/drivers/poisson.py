@@ -32,6 +32,7 @@ def solve_poisson(
     maxiter: Optional[int] = None,
     method: str = "cg",
     bc_mode: str = "reduced",
+    precond: str = "jacobi",
     refine: bool = False,
     matrix_free: bool = False,
 ) -> ImplicitResult:
@@ -43,6 +44,8 @@ def solve_poisson(
     bc_mode: 'reduced' eliminates BC dofs from the system (impl1/impl2
     semantics); 'full' keeps the full-size system with MatZeroRows identity
     rows (impl3 semantics, triapoissonserialimpl3.F:557-558).
+    precond: 'jacobi' or 'mg' (geometric multigrid; bc_mode='full' on
+    structured lattice meshes only — falls back to Jacobi elsewhere).
     refine: mixed-precision f32-inner/f64-outer iterative refinement.
     """
     if source is None:
@@ -59,7 +62,8 @@ def solve_poisson(
     if bc_mode == "full":
         return solve_implicit_fullsystem(
             mesh, 1, dirichlet, element_fn,
-            dtype=dtype, rtol=rtol, maxiter=maxiter, method=method)
+            dtype=dtype, rtol=rtol, maxiter=maxiter, method=method,
+            precond=precond)
     return solve_implicit(
         mesh, 1, dirichlet, element_fn,
         dtype=dtype, rtol=rtol, maxiter=maxiter, method=method,
