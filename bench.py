@@ -48,7 +48,7 @@ def main():
         dirichlet_rhs_correction,
     )
     from pfemfort_tpu.assembly.pattern import build_pattern
-    from pfemfort_tpu.dofs.dofmap import build_dofmap
+    from pfemfort_tpu.dofs.dofmap import build_dofmap, reduced_lattice
     from pfemfort_tpu.elements.geometry import to_element_minor
     from pfemfort_tpu.elements.poisson import poisson_element_matrices
     from pfemfort_tpu.mesh import generate
@@ -62,7 +62,8 @@ def main():
     t_host0 = time.perf_counter()
     mesh, dbc = generate.box_tet(0, 1, n, 0, 1, n, 0, 1, n)
     dofmap = build_dofmap(mesh, 1, dbc)
-    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof)
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof,
+                            lattice=reduced_lattice(mesh, dofmap))
     t_host = time.perf_counter() - t_host0
     _log(f"host setup {t_host:.1f}s, E={mesh.n_elem}, N={dofmap.total_dof}, layout={pattern.layout}")
 

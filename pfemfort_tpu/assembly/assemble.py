@@ -45,7 +45,8 @@ def assemble_dia_values(Ke: jnp.ndarray,
         num_segments=D * N + 1,
     )
     vals = sums[:-1].reshape(D, N)
-    return DIAMatrix(offsets=pattern.dia_offsets, vals=vals, n_rows=N)
+    return DIAMatrix(offsets=pattern.dia_offsets, vals=vals, n_rows=N,
+                     lattice=getattr(pattern, 'dia_lattice', None))
 
 
 def assemble_ell_values(Ke: jnp.ndarray, pattern: AssemblyPattern,

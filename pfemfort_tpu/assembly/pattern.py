@@ -40,6 +40,7 @@ class AssemblyPattern:
     # from elem_dof (cheap elementwise + log2(D)-step searchsorted), so no
     # O(n_entries) host arrays exist at all ---
     dia_offsets: Optional[Tuple[int, ...]] = None
+    dia_lattice: Optional[Tuple[int, ...]] = None  # stencil fast path
     elem_dof_t: Optional[np.ndarray] = None  # (ns, n_elem) int32, -1 sentinel
     mat_dest: Optional[np.ndarray] = None   # unused in 'dia' (kept for tools)
     # --- 'ell' layout ---
@@ -119,11 +120,17 @@ def _rhs_dest(elem_dof: np.ndarray, n_rows: int):
 
 
 def build_pattern(elem_dof: np.ndarray, n_rows: int, lane_pad: int = 8,
-                  layout: str = "auto", max_offsets: int = 128
+                  layout: str = "auto", max_offsets: int = 128,
+                  lattice: Optional[Tuple[int, ...]] = None
                   ) -> AssemblyPattern:
-    """Build the assembly pattern; 'auto' prefers the O(nnz) DIA census."""
+    """Build the assembly pattern; 'auto' prefers the O(nnz) DIA census.
+
+    `lattice`: optional row-lattice shape (dofs/dofmap.py:reduced_lattice)
+    enabling the N-D stencil SpMV (sparse/dia.py:DIAMatrix.lattice)."""
     elem_dof = np.asarray(elem_dof)
     rhs_dest = _rhs_dest(elem_dof, n_rows)
+    if lattice is not None and int(np.prod(lattice)) != n_rows:
+        lattice = None
 
     if layout in ("auto", "dia"):
         uniq = _offset_census(elem_dof, n_rows)
@@ -133,6 +140,7 @@ def build_pattern(elem_dof: np.ndarray, n_rows: int, lane_pad: int = 8,
                 n_rows=n_rows,
                 rhs_dest=rhs_dest,
                 dia_offsets=tuple(int(o) for o in uniq),
+                dia_lattice=lattice,
                 elem_dof_t=np.ascontiguousarray(elem_dof.T, dtype=np.int32),
             )
         if layout == "dia":

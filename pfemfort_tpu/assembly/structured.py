@@ -126,7 +126,9 @@ def assemble_dia_structured_2d(Ke: jnp.ndarray,
     for (c, nr, nc, d, ry, rx, ci) in plan.entries:
         blk = Kc[nr, nc, :, c].reshape(ney, nex)
         vals = vals.at[d, ry:ry + ney, rx:rx + nex, ci].add(blk)
-    return DIAMatrix(vals=vals.reshape(D, n), offsets=plan.offsets, n_rows=n)
+    lattice = (nny, nnx) if ndof == 1 else None
+    return DIAMatrix(vals=vals.reshape(D, n), offsets=plan.offsets, n_rows=n,
+                     lattice=lattice)
 
 
 def assemble_rhs_structured_2d(Fe: jnp.ndarray,
@@ -162,7 +164,9 @@ def assemble_dia_structured(Ke: jnp.ndarray,
     for (c, nr, nc, d, rz, ry, rx, ci) in plan.entries:
         blk = Kc[nr, nc, :, c].reshape(nez, ney, nex)
         vals = vals.at[d, rz:rz + nez, ry:ry + ney, rx:rx + nex, ci].add(blk)
-    return DIAMatrix(vals=vals.reshape(D, n), offsets=plan.offsets, n_rows=n)
+    lattice = (nnz_, nny, nnx) if ndof == 1 else None
+    return DIAMatrix(vals=vals.reshape(D, n), offsets=plan.offsets, n_rows=n,
+                     lattice=lattice)
 
 
 def assemble_rhs_structured(Fe: jnp.ndarray,

@@ -54,6 +54,39 @@ class DofMap:
         return full
 
 
+def reduced_lattice(mesh: Mesh, dofmap: DofMap):
+    """Node-lattice shape of the REDUCED system, or None.
+
+    When the mesh is a structured lattice (mesh.structure) and the free
+    nodes form a contiguous rectangular sub-box (e.g. all-face Dirichlet
+    leaves the interior box), the reduced equation numbering is itself
+    row-major over that sub-lattice — unlocking the stencil SpMV fast path
+    (sparse/dia.py: DIAMatrix.lattice).  ndof must be 1 (flat per-axis
+    shift decomposition is ambiguous across interleaved components)."""
+    st = mesh.structure or {}
+    if dofmap.ndof != 1:
+        return None
+    if st.get("kind") == "box_tet":
+        shape = (st["nez"] + 1, st["ney"] + 1, st["nex"] + 1)
+    elif st.get("kind") == "rect_tria":
+        shape = (st["ney"] + 1, st["nex"] + 1)
+    else:
+        return None
+    free = dofmap.free_mask_full().reshape(shape)
+    axes_idx = []
+    for a in range(len(shape)):
+        proj = free.any(axis=tuple(i for i in range(len(shape)) if i != a))
+        idx = np.nonzero(proj)[0]
+        if len(idx) == 0 or (idx[-1] - idx[0] + 1) != len(idx):
+            return None
+        axes_idx.append(idx)
+    box = np.zeros(shape, dtype=bool)
+    box[np.ix_(*axes_idx)] = True
+    if not np.array_equal(box, free):
+        return None
+    return tuple(len(i) for i in axes_idx)
+
+
 def build_dofmap(mesh: Mesh, ndof: int, dirichlet: np.ndarray) -> DofMap:
     """Build the DOF map from a mesh and (node, dof, value) Dirichlet rows."""
     n_node = mesh.n_node

@@ -20,7 +20,7 @@ from pfemfort_tpu.assembly.assemble import (
     dirichlet_rhs_correction,
 )
 from pfemfort_tpu.assembly.pattern import build_pattern
-from pfemfort_tpu.dofs.dofmap import build_dofmap
+from pfemfort_tpu.dofs.dofmap import build_dofmap, reduced_lattice
 from pfemfort_tpu.elements.geometry import to_element_minor
 from pfemfort_tpu.mesh.core import Mesh
 from pfemfort_tpu.solve.cg import (
@@ -85,7 +85,8 @@ def solve_implicit(
         dtype = jnp.zeros(0).dtype  # respect jax_enable_x64
     t0 = time.perf_counter()
     dofmap = build_dofmap(mesh, ndof, dirichlet)
-    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof)
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof,
+                            lattice=reduced_lattice(mesh, dofmap))
     t_pattern = time.perf_counter() - t0
 
     coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
@@ -140,6 +141,7 @@ def solve_implicit_fullsystem(
     maxiter: Optional[int] = None,
     method: str = "cg",
     precond: str = "jacobi",
+    refine: bool = False,
 ) -> ImplicitResult:
     """serialimpl3-parity path: full-size DOF system + MatZeroRows BCs
     (/root/reference/src/triapoissonserialimpl3.F:351-359, 557-558).
@@ -262,7 +264,8 @@ def _solve_implicit_refined(
 
     t0 = time.perf_counter()
     dofmap = build_dofmap(mesh, ndof, dirichlet)
-    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof)
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof,
+                            lattice=reduced_lattice(mesh, dofmap))
     t_pattern = time.perf_counter() - t0
 
     def assemble(dtype):

@@ -37,8 +37,12 @@ def cg_with_refinement(
     inner_rtol: float = 1e-5,
     max_outer: int = 20,
     inner_maxiter: int = 10_000,
+    x0: Optional[jnp.ndarray] = None,
 ):
-    """Solve A x = b to f64 relative residual `rtol` with f32 inner CG."""
+    """Solve A x = b to f64 relative residual `rtol` with f32 inner CG.
+
+    `x0`: optional f64 initial guess (the full-system BC-carrying start);
+    inner corrections then live on the zero-BC subspace."""
     b64 = b64.astype(jnp.float64)
     bnorm = float(jnp.linalg.norm(b64))
     if bnorm == 0.0:
@@ -49,8 +53,12 @@ def cg_with_refinement(
         maxiter=inner_maxiter))
     resid = jax.jit(lambda x64: b64 - op64(x64))
 
-    x64 = jnp.zeros_like(b64)
-    r64 = b64
+    if x0 is None:
+        x64 = jnp.zeros_like(b64)
+        r64 = b64
+    else:
+        x64 = x0.astype(jnp.float64)
+        r64 = resid(x64)
     total_inner = 0
     relres = 1.0
     for outer in range(max_outer):

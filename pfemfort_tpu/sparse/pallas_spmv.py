@@ -48,8 +48,10 @@ def spmv_dia_pallas(A: DIAMatrix, x: jnp.ndarray,
     D = len(offs)
     n = A.n_rows
     w_raw = max(max(offs), -min(offs), 0)
-    w = ((w_raw + 127) // 128) * 128
-    block = min(block, ((n + 127) // 128) * 128)
+    # Mosaic tiles 1-D f32 arrays at 1024 elements: the x-window DMA length
+    # (block + 2w) and start (i*block) must both be 1024-aligned.
+    w = ((w_raw + 511) // 512) * 512
+    block = min(block, ((n + 1023) // 1024) * 1024)
     # VMEM budget: vals block D*block + window (block + 2w) floats
     nblocks = pl.cdiv(n, block)
     npad = nblocks * block

@@ -109,3 +109,43 @@ def test_solve_poisson_uses_dia_and_matches():
     res = solve_poisson(mesh, dbc, rtol=1e-11)
     u_exact = (mesh.coords ** 2).sum(axis=1)
     assert np.abs(res.u_full - u_exact).max() < 1e-8
+
+
+def test_lattice_stencil_spmv_matches_flat():
+    """DIAMatrix.lattice fast path (N-D stencil slices) is bit-identical to
+    the generic 1-D shifted-FMA path on assembled FEM matrices."""
+    import jax.numpy as jnp
+    from pfemfort_tpu.assembly.assemble import assemble_matrix
+    from pfemfort_tpu.assembly.pattern import build_pattern
+    from pfemfort_tpu.dofs.dofmap import build_dofmap, reduced_lattice
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    from pfemfort_tpu.elements.poisson import poisson_element_matrices
+    from pfemfort_tpu.mesh import generate
+    from pfemfort_tpu.sparse.dia import spmv_dia
+
+    rng = np.random.default_rng(3)
+    mesh, dbc = generate.box_tet(0, 1, 7, 0, 1, 9, 0, 1, 8)
+    dofmap = build_dofmap(mesh, 1, dbc)
+    lat = reduced_lattice(mesh, dofmap)
+    assert lat == (7, 8, 6)
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof, lattice=lat)
+    coords_e = jnp.asarray(to_element_minor(mesh.elem_coords()))
+    Ke, _ = poisson_element_matrices(coords_e, "tetra4")
+    A = assemble_matrix(Ke, pattern)
+    assert A.lattice == lat
+    x = jnp.asarray(rng.normal(size=(dofmap.total_dof,)))
+    np.testing.assert_array_equal(
+        np.asarray(spmv_dia(A, x)),
+        np.asarray(spmv_dia(A._replace(lattice=None), x)))
+
+
+def test_decompose_offsets():
+    from pfemfort_tpu.sparse.dia import decompose_offsets
+
+    # canonical 3D 7-point stencil on (9, 9, 9)
+    offs = (-81, -9, -1, 0, 1, 9, 81)
+    d = decompose_offsets(offs, (9, 9, 9))
+    assert d == ((-1, 0, 0), (0, -1, 0), (0, 0, -1), (0, 0, 0),
+                 (0, 0, 1), (0, 1, 0), (1, 0, 0))
+    # shift magnitude >= axis/2 is ambiguous -> None
+    assert decompose_offsets((8,), (4, 4)) is None
