@@ -1,21 +1,28 @@
-"""Multi-device implicit solve: partition -> assemble -> distributed CG.
+"""Multi-device implicit solve: partition -> PER-SHARD assembly -> CG.
 
 The TPU analog of the reference's parallel drivers
 (tetrapoissonparallelimpl1 et al., SURVEY §3.1): slab/RCB partition replaces
-METIS, shard-contiguous renumbering replaces node_start/node_end, and the
-distributed CG replaces PETSc KSP over MPI.  Prefers the halo-exchange DIA
-SpMV (O(halo) ppermute per iteration); falls back to the all_gather ELL path
-for unstructured numbering.
+METIS, shard-contiguous renumbering replaces node_start/node_end, each shard
+assembles ONLY its own element block (the reference's elem_procid ownership
+loop, triapoissonparallelimpl1.F:849-905) with a one-ppermute ghost
+reduction replacing the PETSc MatAssembly stash exchange, and distributed CG
+replaces KSPSolve over MPI.  Full-size coords/Ke/A never materialize on any
+single device.
+
+Falls back to replicated assembly + the all_gather ELL solve when the
+pattern is not DIA-structured (genuinely unstructured numbering) or the
+matrix bandwidth exceeds a shard (tiny meshes).
 """
 
 from __future__ import annotations
 
 import time
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pfemfort_tpu.assembly.assemble import (
     assemble_matrix,
@@ -24,13 +31,77 @@ from pfemfort_tpu.assembly.assemble import (
 )
 from pfemfort_tpu.drivers.common import ImplicitResult
 from pfemfort_tpu.mesh.core import Mesh
-from pfemfort_tpu.parallel.shard import ShardedSystem, build_sharded_system
+from pfemfort_tpu.parallel.dist_assembly import (
+    DistSetup,
+    assemble_dia_local,
+    build_dist_setup,
+)
+from pfemfort_tpu.parallel.shard import build_sharded_system
 from pfemfort_tpu.parallel.shard_cg import (
     distributed_cg_solve,
     distributed_cg_solve_dia,
     shard_arrays,
 )
 from pfemfort_tpu.sparse.dia import DIAMatrix
+
+
+def _force_vector(dofmap, eq_perm, n_rows_padded, force_bc) -> np.ndarray:
+    """Nodal ForceBC rows -> padded shard-ordered external force vector
+    (the reference's rhs VecSetValues with row-ownership guard,
+    triaelasticityparallelimpl1.F:976-987)."""
+    fvec = np.zeros(dofmap.total_dof, dtype=np.float64)
+    rows = dofmap.node_dof[force_bc[:, 0].astype(np.int64),
+                           force_bc[:, 1].astype(np.int64)]
+    keep = rows >= 0
+    np.add.at(fvec, rows[keep], force_bc[keep, 2])
+    out = np.zeros(n_rows_padded, dtype=np.float64)
+    out[eq_perm] = fvec
+    return out
+
+
+def assemble_implicit_sharded(
+    setup: DistSetup,
+    element_fn: Callable,
+    device_mesh,
+    dtype,
+    force_bc: Optional[np.ndarray] = None,
+    axis: str = "shard",
+):
+    """Per-shard element kernels + local DIA scatter + ghost ppermute.
+
+    Returns (vals (D, n_rows_padded) sharded over rows, b (n_rows_padded,)
+    sharded) — global shapes, but each device only ever holds its block.
+    """
+    sys_ = setup.sys
+    Prow, w, offsets = sys_.rows_per_shard, setup.w, setup.offsets
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(device_mesh, spec))
+
+    coords_sj = put(jnp.asarray(setup.coords_s, dtype=dtype), P(axis))
+    edt_sj = put(jnp.asarray(setup.edt_s), P(axis))
+    ubc_sj = put(jnp.asarray(setup.ubc_s, dtype=dtype), P(axis))
+    fext = np.zeros(sys_.n_rows_padded, dtype=np.float64)
+    if force_bc is not None and len(force_bc):
+        fext = _force_vector(sys_.dofmap, sys_.eq_perm,
+                             sys_.n_rows_padded, force_bc)
+    fext_sj = put(jnp.asarray(fext, dtype=dtype), P(axis))
+
+    def body(coords_b, edt_b, ubc_b, fext_l):
+        coords_em, edt, ubc = coords_b[0], edt_b[0], ubc_b[0]
+        Ke, Fe_src = element_fn(coords_em)
+        Fe = Fe_src + dirichlet_rhs_correction(Ke, ubc)
+        vals_own, b_own = assemble_dia_local(Ke, Fe, edt, offsets,
+                                             Prow, w, axis)
+        return vals_own, b_own + fext_l
+
+    mapped = jax.shard_map(
+        body,
+        mesh=device_mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(None, axis), P(axis)),
+    )
+    return jax.jit(mapped)(coords_sj, edt_sj, ubc_sj, fext_sj)
 
 
 def solve_implicit_sharded(
@@ -45,6 +116,7 @@ def solve_implicit_sharded(
     rtol: float = 1e-8,
     maxiter: int = 10_000,
     partition_method: str = "slab",
+    precond: str = "jacobi",
 ) -> ImplicitResult:
     if dtype is None:
         dtype = jnp.zeros(0).dtype
@@ -56,10 +128,54 @@ def solve_implicit_sharded(
     n_shards = device_mesh.devices.size
 
     t0 = time.perf_counter()
-    sys_ = build_sharded_system(mesh, ndof, dirichlet, n_shards,
-                                method=partition_method)
+    try:
+        setup = build_dist_setup(mesh, ndof, dirichlet, n_shards,
+                                 method=partition_method)
+    except ValueError:
+        setup = None
     t_pattern = time.perf_counter() - t0
 
+    if setup is not None:
+        t1 = time.perf_counter()
+        vals_s, b_s = assemble_implicit_sharded(
+            setup, element_fn, device_mesh, dtype, force_bc)
+        jax.block_until_ready(b_s)
+        t_asm = time.perf_counter() - t1
+        sys_ = setup.sys
+        t1 = time.perf_counter()
+        x, stats = distributed_cg_solve_dia(
+            device_mesh, setup.offsets, vals_s, b_s,
+            rtol=rtol, maxiter=maxiter, ndof_block=(
+                ndof if precond == "bjacobi" else 1))
+        x = jax.block_until_ready(x)
+        t_solve = time.perf_counter() - t1
+    else:
+        t1 = time.perf_counter()
+        sys_, x, stats = _solve_replicated_fallback(
+            mesh, ndof, dirichlet, element_fn, n_shards, device_mesh,
+            force_bc, dtype, rtol, maxiter, partition_method)
+        t_solve = time.perf_counter() - t1
+        t_asm = 0.0
+
+    x_orig = sys_.reduce_solution(np.asarray(x, dtype=np.float64))
+    u_full = sys_.dofmap.expand_solution(x_orig)
+    return ImplicitResult(
+        u_full=u_full,
+        u_reduced=jnp.asarray(x_orig),
+        stats=jax.tree.map(lambda a: np.asarray(a), stats),
+        timings=dict(pattern_s=t_pattern, assemble_s=t_asm,
+                     solve_s=t_solve,
+                     distributed_assembly=setup is not None),
+    )
+
+
+def _solve_replicated_fallback(mesh, ndof, dirichlet, element_fn, n_shards,
+                               device_mesh, force_bc, dtype, rtol, maxiter,
+                               partition_method):
+    """Replicated assembly + sharded solve (ELL all_gather or DIA halo) for
+    patterns the per-shard DIA path cannot represent."""
+    sys_ = build_sharded_system(mesh, ndof, dirichlet, n_shards,
+                                method=partition_method)
     from pfemfort_tpu.elements.geometry import to_element_minor
     coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
                             dtype=dtype)
@@ -71,16 +187,11 @@ def solve_implicit_sharded(
     b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
                      sys_.pattern)
     if force_bc is not None and len(force_bc):
-        fvec = np.zeros(sys_.dofmap.total_dof, dtype=np.float64)
-        rows = sys_.dofmap.node_dof[force_bc[:, 0].astype(np.int64),
-                                    force_bc[:, 1].astype(np.int64)]
-        keep = rows >= 0
-        np.add.at(fvec, rows[keep], force_bc[keep, 2])
-        b = b + jnp.asarray(sys_.expand_rhs(fvec), dtype=dtype)
+        b = b + jnp.asarray(
+            _force_vector(sys_.dofmap, sys_.eq_perm, sys_.n_rows_padded,
+                          force_bc), dtype=dtype)
 
-    t1 = time.perf_counter()
     if isinstance(A, DIAMatrix):
-        from jax.sharding import NamedSharding, PartitionSpec as P
         vals_s = jax.device_put(
             A.vals, NamedSharding(device_mesh, P(None, "shard")))
         b_s, = shard_arrays(device_mesh, "shard", b)
@@ -93,13 +204,4 @@ def solve_implicit_sharded(
         x, stats = distributed_cg_solve(device_mesh, cols_s, vals_s, b_s,
                                         rtol=rtol, maxiter=maxiter)
     x = jax.block_until_ready(x)
-    t_solve = time.perf_counter() - t1
-
-    x_orig = sys_.reduce_solution(np.asarray(x, dtype=np.float64))
-    u_full = sys_.dofmap.expand_solution(x_orig)
-    return ImplicitResult(
-        u_full=u_full,
-        u_reduced=jnp.asarray(x_orig),
-        stats=jax.tree.map(lambda a: np.asarray(a), stats),
-        timings=dict(pattern_s=t_pattern, solve_s=t_solve),
-    )
+    return sys_, x, stats

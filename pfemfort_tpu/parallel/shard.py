@@ -57,25 +57,42 @@ def build_sharded_system(
 ) -> ShardedSystem:
     """Partition the mesh and build a shard-contiguous assembly pattern."""
     dofmap = build_dofmap(mesh, ndof, dirichlet)
-    elem_part = partition_elements(mesh, n_shards, method=method)
-    node_part = nodes_from_elem_partition(mesh, elem_part, max(n_shards, 1))
+    if method == "slab":
+        # Contiguous equation-block ownership: shard s owns rows
+        # [s*P, (s+1)*P) of the ORIGINAL equation numbering, padding only
+        # past the global end (eq_perm = identity).  This is the literal
+        # analog of the reference's row_start/row_end ownership
+        # (triapoissonparallelimpl1.F:536-667) and — crucially for TPU —
+        # it preserves the lattice numbering exactly, so the DIA offset
+        # census stays the original stencil (no pad-jump offsets at shard
+        # boundaries, no scrambled boundary nodes).
+        P = round_up(-(-max(dofmap.total_dof, 1) // n_shards), lane_pad)
+        eq_perm = np.arange(dofmap.total_dof, dtype=np.int64)
+        eq_node = dofmap.assy_for_soln // ndof
+        node_part = np.zeros(mesh.n_node, dtype=np.int32)
+        node_part[eq_node] = np.minimum(eq_perm // P, n_shards - 1)
+        elem_part = node_part[mesh.conn].min(axis=1).astype(np.int32)
+    else:
+        elem_part = partition_elements(mesh, n_shards, method=method)
+        node_part = nodes_from_elem_partition(mesh, elem_part,
+                                              max(n_shards, 1))
 
-    # Part of each free equation = part of its node.
-    eq_node = dofmap.assy_for_soln // ndof          # (total_dof,)
-    eq_part = node_part[eq_node]
+        # Part of each free equation = part of its node.
+        eq_node = dofmap.assy_for_soln // ndof      # (total_dof,)
+        eq_part = node_part[eq_node]
 
-    counts = np.bincount(eq_part, minlength=n_shards)
-    P = round_up(max(int(counts.max(initial=1)), 1), lane_pad)
+        counts = np.bincount(eq_part, minlength=n_shards)
+        P = round_up(max(int(counts.max(initial=1)), 1), lane_pad)
 
-    # New padded row id: shard_base + rank within shard (stable original order)
-    order = np.argsort(eq_part, kind="stable")       # old eq ids sorted by part
-    within = np.zeros(dofmap.total_dof, dtype=np.int64)
-    start = 0
-    for s in range(n_shards):
-        c = counts[s]
-        within[order[start:start + c]] = np.arange(c)
-        start += c
-    eq_perm = (eq_part.astype(np.int64) * P + within).astype(np.int64)
+        # New padded row id: shard_base + rank within shard (stable order)
+        order = np.argsort(eq_part, kind="stable")
+        within = np.zeros(dofmap.total_dof, dtype=np.int64)
+        start = 0
+        for s in range(n_shards):
+            c = counts[s]
+            within[order[start:start + c]] = np.arange(c)
+            start += c
+        eq_perm = (eq_part.astype(np.int64) * P + within).astype(np.int64)
 
     # Remap elem_dof into padded row space (-1 sentinels preserved).
     elem_dof = dofmap.elem_dof

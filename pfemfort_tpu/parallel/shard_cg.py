@@ -24,6 +24,70 @@ from pfemfort_tpu.parallel.halo import halo_width, spmv_dia_halo
 from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
 
 
+def _inv_small_blocks(B: jax.Array) -> jax.Array:
+    """Closed-form batched inverse of (m, nd, nd) SPD blocks, nd in {1,2,3}.
+
+    Zero-diagonal rows (padding equations) are replaced by identity
+    rows/columns first so the block stays invertible and decoupled."""
+    nd = B.shape[-1]
+    eye = jnp.eye(nd, dtype=B.dtype)
+    for a in range(nd):
+        zero = B[:, a, a] == 0
+        B = B.at[:, a, :].set(jnp.where(zero[:, None], eye[a], B[:, a, :]))
+        B = B.at[:, :, a].set(jnp.where(zero[:, None], eye[a], B[:, :, a]))
+    if nd == 1:
+        return 1.0 / B
+    if nd == 2:
+        a, b = B[:, 0, 0], B[:, 0, 1]
+        c, d = B[:, 1, 0], B[:, 1, 1]
+        det = a * d - b * c
+        inv = jnp.stack([jnp.stack([d, -b], -1),
+                         jnp.stack([-c, a], -1)], -2)
+        return inv / det[:, None, None]
+    if nd == 3:
+        a, b, c = B[:, 0, 0], B[:, 0, 1], B[:, 0, 2]
+        d, e, f = B[:, 1, 0], B[:, 1, 1], B[:, 1, 2]
+        g, h, i = B[:, 2, 0], B[:, 2, 1], B[:, 2, 2]
+        A_ = e * i - f * h
+        B_ = -(d * i - f * g)
+        C_ = d * h - e * g
+        det = a * A_ + b * B_ + c * C_
+        inv = jnp.stack([
+            jnp.stack([A_, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B_, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C_, -(a * h - b * g), a * e - b * d], -1),
+        ], -2)
+        return inv / det[:, None, None]
+    return jnp.linalg.inv(B)
+
+
+def block_jacobi_dia_preconditioner(offsets, vals_l: jax.Array, nd: int):
+    """PC=BJACOBI with per-node (nd x nd) blocks, extracted from local DIA
+    rows — the reference's default preconditioner (solverpetsc.F:206) at
+    node-block granularity.  vals_l: (D, P) shard-local DIA values; rows
+    k*nd+a couple to cols k*nd+b via diagonal offset (b - a)."""
+    P_ = vals_l.shape[1]
+    m = P_ // nd
+    oidx = {o: d for d, o in enumerate(offsets)}
+    cols = []
+    for a in range(nd):
+        row = []
+        for b in range(nd):
+            o = b - a
+            if o in oidx:
+                row.append(vals_l[oidx[o]].reshape(m, nd)[:, a])
+            else:
+                row.append(jnp.zeros((m,), dtype=vals_l.dtype))
+        cols.append(jnp.stack(row, -1))
+    B = jnp.stack(cols, -2)                       # (m, nd, nd)
+    Binv = _inv_small_blocks(B)
+
+    def apply(r):
+        return jnp.einsum("kab,kb->ka", Binv,
+                          r.reshape(m, nd)).reshape(-1)
+    return apply
+
+
 def distributed_cg_solve(
     device_mesh: JMesh,
     cols: jax.Array,       # (n_rows_padded, K) int32, global column ids
@@ -90,12 +154,16 @@ def distributed_cg_solve_dia(
     rtol: float = 1e-8,
     maxiter: int = 10_000,
     axis: str = "shard",
+    ndof_block: int = 1,
 ):
     """CG with the halo-exchange DIA SpMV: per-iteration comm is two
     ppermute shifts of the halo width W = max|offset| (plus psum dots)
     instead of an all_gather of the full vector — the overlap-friendly
     'interior SpMV + neighbor halo' structure PETSc uses over MPI
     (SURVEY §5 'long-context' row).
+
+    ndof_block > 1 selects per-node block-Jacobi preconditioning
+    (the reference default PC=BJACOBI, solverpetsc.F:206).
     """
     n_rows = b.shape[0]
     n_shards = device_mesh.devices.size
@@ -132,10 +200,15 @@ def distributed_cg_solve_dia(
             pair = jax.lax.psum(pair, axis)
             return pair[0], pair[1]
 
-        diag = vals_l[d0] if d0 is not None else jnp.zeros_like(b_l)
+        if ndof_block > 1 and b_l.shape[0] % ndof_block == 0:
+            precond = block_jacobi_dia_preconditioner(
+                offsets, vals_l, ndof_block)
+        else:
+            diag = vals_l[d0] if d0 is not None else jnp.zeros_like(b_l)
+            precond = jacobi_preconditioner(diag)
         x_l, stats = cg_solve(
             operator, b_l,
-            precond=jacobi_preconditioner(diag),
+            precond=precond,
             rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
         return x_l, stats
 

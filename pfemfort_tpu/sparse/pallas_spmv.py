@@ -1,14 +1,19 @@
-"""Pallas TPU kernel for the DIA SpMV.
+"""Pallas TPU kernels for the DIA SpMV.
 
 The XLA version (sparse/dia.py:spmv_dia) re-reads a shifted copy of x from
-HBM for every diagonal (D ~ 15 overlapping streams).  This kernel tiles the
-rows, DMAs each x window (block + 2W halo) into VMEM ONCE, and performs all
-D shifted multiply-adds against the VMEM-resident window — x traffic drops
-from D*N to ~N, leaving vals (D*N) as the only irreducible stream.
+HBM for every diagonal (D ~ 15 overlapping streams) and lays 1-D vectors on
+a single sublane, capping it near 1/8 of HBM bandwidth.  These kernels view
+the row space as a 2-D (R, 128) array — full (8, 128) f32 tiles — stream the
+vals in (D, Rb, 128) blocks, and DMA each x window into VMEM ONCE.  A flat
+shift by o becomes two static 2-D slices stitched with a lane rotate
+(o = q*128 + r: rows shift by q, lanes rotate by r), so all D shifted FMAs
+run against the VMEM-resident window.  x traffic drops from D*N to ~N,
+leaving vals (D*N) as the only irreducible stream — the kernel is then a
+pure sequential read of D*N + 2N floats, the shape TPUs run at memory
+bandwidth.
 
-Grid: one program per row block.  vals arrives pre-blocked through the
-BlockSpec pipeline; the x window is fetched with an explicit async DMA
-because overlapping windows cannot be expressed as a BlockSpec tiling.
+Replaces the hot loop of the reference's KSPSolve MatMult
+(/root/reference/src/solverpetsc.F:476).
 """
 
 from __future__ import annotations
@@ -23,61 +28,80 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pfemfort_tpu.sparse.dia import DIAMatrix
 
+LANES = 128
 
-def _kernel(vals_ref, xpad_hbm, y_ref, x_scratch, sem,
-            *, offsets: Tuple[int, ...], w: int, block: int):
+
+def _shifted(xw, qo: int, ro: int, rb: int):
+    """Window rows [qo, qo+rb) shifted ro lanes: flat view xw[qo*128+ro :].
+
+    The lane part is one circular `pltpu.roll` + a select between the two
+    adjacent row views (Mosaic rejects unaligned lane-dim concatenates)."""
+    if ro == 0:
+        return xw[qo:qo + rb, :]
+    seg = xw[qo:qo + rb + 1, :]                     # (rb+1, 128)
+    rolled = pltpu.roll(seg, LANES - ro, axis=1)    # [r, c] = seg[r,(c+ro)%128]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+    return jnp.where(col < LANES - ro, rolled[:rb], rolled[1:rb + 1])
+
+
+def _kernel2d(vals_ref, xpad_hbm, y_ref, x_scratch, sem,
+              *, offsets: Tuple[int, ...], wrow: int, rb: int):
     i = pl.program_id(0)
     dma = pltpu.make_async_copy(
-        xpad_hbm.at[pl.ds(i * block, block + 2 * w)],
+        xpad_hbm.at[pl.ds(i * rb, rb + 2 * wrow + 1), :],
         x_scratch,
         sem,
     )
     dma.start()
     dma.wait()
-    acc = jnp.zeros((block,), dtype=y_ref.dtype)
+    xw = x_scratch[:]
+    acc = jnp.zeros((rb, LANES), dtype=y_ref.dtype)
     for d, o in enumerate(offsets):
-        acc = acc + vals_ref[d, :] * x_scratch[pl.ds(w + o, block)]
+        op = o + wrow * LANES
+        qo, ro = op // LANES, op % LANES
+        acc = acc + vals_ref[d] * _shifted(xw, qo, ro, rb)
     y_ref[:] = acc
 
 
 def spmv_dia_pallas(A: DIAMatrix, x: jnp.ndarray,
-                    block: int = 65536,
+                    block_rows: int = 1024,
                     interpret: bool = False) -> jnp.ndarray:
-    """y = A x with a single VMEM-resident x window per row block."""
+    """y = A x with 2-D tiling and a single VMEM x window per row block."""
     offs = A.offsets
     D = len(offs)
     n = A.n_rows
     w_raw = max(max(offs), -min(offs), 0)
-    # Mosaic tiles 1-D f32 arrays at 1024 elements: the x-window DMA length
-    # (block + 2w) and start (i*block) must both be 1024-aligned.
-    w = ((w_raw + 511) // 512) * 512
-    block = min(block, ((n + 1023) // 1024) * 1024)
-    # VMEM budget: vals block D*block + window (block + 2w) floats
-    nblocks = pl.cdiv(n, block)
-    npad = nblocks * block
+    wrow = w_raw // LANES + 1          # halo rows each side (covers lane part)
+    R = pl.cdiv(n, LANES)
+    rb = min(block_rows, R)
+    nblocks = pl.cdiv(R, rb)
+    Rpad = nblocks * rb
+    npad = Rpad * LANES
 
     vals = A.vals
     if npad != n:
         vals = jnp.pad(vals, ((0, 0), (0, npad - n)))
+    vals = vals.reshape(D, Rpad, LANES)
     xpad = jnp.concatenate([
-        jnp.zeros((w,), dtype=x.dtype), x,
-        jnp.zeros((w + npad - n,), dtype=x.dtype)])
+        jnp.zeros((wrow * LANES,), dtype=x.dtype), x,
+        jnp.zeros(((wrow + 1) * LANES + npad - n,), dtype=x.dtype)])
+    xpad = xpad.reshape(-1, LANES)
 
     y = pl.pallas_call(
-        functools.partial(_kernel, offsets=offs, w=w, block=block),
+        functools.partial(_kernel2d, offsets=offs, wrow=wrow, rb=rb),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((D, block), lambda i: (0, i),
+            pl.BlockSpec((D, rb, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((block,), lambda i: (i,),
+        out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Rpad, LANES), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block + 2 * w,), x.dtype),
+            pltpu.VMEM((rb + 2 * wrow + 1, LANES), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(vals, xpad)
-    return y[:n]
+    return y.reshape(-1)[:n]
