@@ -229,12 +229,13 @@ def explicit_dynamics_sharded(
             return ring_add(r_ext, axis)
 
         def step(carry, k):
-            disp_prev, disp_prev2, velo_prev = carry
+            disp_prev, disp_prev2, velo_prev, _ = carry
             t = k.astype(disp_prev.dtype) * dt
             rhs = residual(disp_prev, t)
             rhs = rhs + (M / dtt) * (2.0 * disp_prev - disp_prev2)
             disp = jnp.where(upd, dtt * rhs / Msafe, 0.0)
             velo = (disp - disp_prev2) / (2.0 * dt)
+            acce = (disp - 2.0 * disp_prev + disp_prev2) / dtt
             # probe extraction: each shard contributes its owned probes
             my = jax.lax.axis_index(axis)
             if n_probe:
@@ -244,32 +245,34 @@ def explicit_dynamics_sharded(
                 out = jax.lax.psum(jnp.concatenate([vals, vvals]), axis)
             else:
                 out = jnp.zeros((0,), dtype=disp.dtype)
-            return (disp, disp_prev, velo), out
+            return (disp, disp_prev, velo, acce), out
 
         z = jax.lax.pcast(jnp.zeros((Prow,), dtype=coords_em.dtype),
                           ("shard",), to="varying")
-        carry, ys = jax.lax.scan(step, (z, z, z), jnp.arange(nsteps))
-        disp, disp_prev, velo = carry
-        return disp[None], velo[None], ys[None]
+        carry, ys = jax.lax.scan(step, (z, z, z, z), jnp.arange(nsteps))
+        disp, disp_prev, velo, acce = carry
+        return disp[None], velo[None], acce[None], ys[None]
 
     mapped = jax.shard_map(
         body,
         mesh=device_mesh,
         in_specs=(P("shard"), P("shard"), P("shard"), P("shard"),
                   P("shard")),
-        out_specs=(P("shard"), P("shard"), P("shard")),
+        out_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
     )
-    disp_s, velo_s, ys_s = jax.jit(mapped)(
+    disp_s, velo_s, acce_s, ys_s = jax.jit(mapped)(
         coords_sj, gather_sj, dest_sj, wmask_sj, free_sj)
 
     # un-permute back to the original node numbering
     disp_s = np.asarray(disp_s, dtype=np.float64).reshape(-1)
     velo_s = np.asarray(velo_s, dtype=np.float64).reshape(-1)
+    acce_s = np.asarray(acce_s, dtype=np.float64).reshape(-1)
     node_new = setup.node_perm
     idx = (node_new[:, None] * ndof + np.arange(ndof)[None, :]).reshape(-1)
     disp = disp_s[idx]
     velo = velo_s[idx]
+    acce = acce_s[idx]
     ys = np.asarray(ys_s)[0]  # identical on all shards after psum
     return ExplicitResult(
-        disp=disp, velo=velo, acce=np.zeros_like(disp),
+        disp=disp, velo=velo, acce=acce,
         probe_history=ys, times=np.arange(nsteps) * dt)

@@ -35,15 +35,26 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
+    # Detect prior initialization WITHOUT touching the XLA backend
+    # (jax.process_count() would initialize it, and
+    # jax.distributed.initialize must run before that).
     try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except Exception:
+        pass
+    if coordinator_address is not None or num_processes is not None:
+        # explicit cluster spec: failures are REAL errors, propagate them
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
+        return
+    try:
+        jax.distributed.initialize()
     except Exception:
-        # single-host / no cluster env: stay single-process
+        # auto-detection found no cluster env: stay single-process
         pass
 
 

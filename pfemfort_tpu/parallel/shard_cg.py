@@ -135,13 +135,17 @@ def distributed_cg_solve(
             operator, b_l,
             precond=jacobi_preconditioner(diag),
             rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
-        return x_l, stats
+        # replicate the solution (the reference's VecScatterCreateToAll,
+        # triapoissonparallelimpl1.F:938-943) so multi-PROCESS callers can
+        # read it without cross-host gathers on the host side
+        return jax.lax.all_gather(x_l, axis, tiled=True), stats
 
     mapped = jax.shard_map(
         body,
         mesh=device_mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis)),
-        out_specs=(P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # tiled all_gather IS replicated; checker can't infer
     )
     return jax.jit(mapped)(cols, vals, b)
 
@@ -210,13 +214,16 @@ def distributed_cg_solve_dia(
             operator, b_l,
             precond=precond,
             rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
-        return x_l, stats
+        # replicate the solution (VecScatterCreateToAll analog) for
+        # multi-process-safe host readback
+        return jax.lax.all_gather(x_l, axis, tiled=True), stats
 
     mapped = jax.shard_map(
         body,
         mesh=device_mesh,
         in_specs=(P(None, axis), P(axis)),
-        out_specs=(P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # tiled all_gather IS replicated; checker can't infer
     )
     return jax.jit(mapped)(dia_vals, b)
 

@@ -74,3 +74,76 @@ def cg_with_refinement(
         r64 = resid(x64)
     relres = float(jnp.linalg.norm(r64)) / bnorm
     return x64, RefineStats(max_outer, total_inner, relres, relres <= rtol)
+
+
+def cg_with_refinement_df(
+    offsets,
+    vals64: np.ndarray,        # (D, n) float64 DIA values (host)
+    b64: np.ndarray,           # (n,) float64 (host)
+    precond32: Optional[Callable] = None,
+    op32: Optional[Callable] = None,
+    rtol: float = 1e-8,
+    inner_rtol: float = 1e-5,
+    max_outer: int = 20,
+    inner_maxiter: int = 10_000,
+):
+    """Iterative refinement with a DOUBLE-FLOAT (f32x2) outer residual.
+
+    The TPU-native replacement for the emulated-f64 outer loop: A and x live
+    as (hi, lo) f32 pairs and the outer residual r = b - A x runs through
+    compensated TwoSum/TwoProd FMAs (solve/doublefloat.py) — ~2 f32 SpMVs of
+    traffic instead of the x64 emulation + compile cliff, while tracking the
+    true f64 residual to ~1e-14.  Inner solves are plain f32 CG.
+
+    Returns (x (n,) float64 on host, RefineStats).
+    """
+    from pfemfort_tpu.solve.doublefloat import (
+        DF, df_add, df_from_f64, df_mul_f32, df_norm2_f32, df_to_f64,
+        spmv_dia_df)
+
+    vals_df = df_from_f64(np.asarray(vals64, dtype=np.float64))
+    b_df = df_from_f64(np.asarray(b64, dtype=np.float64))
+    bnorm = float(np.linalg.norm(np.asarray(b64, dtype=np.float64)))
+    if bnorm == 0.0:
+        return np.zeros_like(np.asarray(b64)), RefineStats(0, 0, 0.0, True)
+    if op32 is None:
+        from pfemfort_tpu.sparse.dia import DIAMatrix, spmv_dia
+        A32 = DIAMatrix(vals=vals_df.hi, offsets=tuple(offsets),
+                        n_rows=int(b_df.hi.shape[0]))
+        op32 = lambda x: spmv_dia(A32, x)
+
+    inner = jax.jit(lambda r32: cg_solve(
+        op32, r32, precond=precond32, rtol=inner_rtol,
+        maxiter=inner_maxiter))
+
+    @jax.jit
+    def resid_df(x_hi, x_lo):
+        ax = spmv_dia_df(tuple(offsets), vals_df, DF(x_hi, x_lo))
+        r = df_add(b_df, DF(-ax.hi, -ax.lo))
+        return r.hi, r.lo, df_norm2_f32(r)
+
+    @jax.jit
+    def update(x_hi, x_lo, d32, scale):
+        x = df_add(DF(x_hi, x_lo), df_mul_f32(DF(d32, jnp.zeros_like(d32)),
+                                              scale))
+        return x.hi, x.lo
+
+    z = jnp.zeros_like(b_df.hi)
+    x_hi, x_lo = z, z
+    r_hi, r_lo = b_df.hi, b_df.lo
+    rnorm = bnorm
+    total_inner = 0
+    for outer in range(max_outer):
+        relres = float(rnorm) / bnorm
+        if relres <= rtol:
+            return df_to_f64(DF(x_hi, x_lo)), RefineStats(
+                outer, total_inner, relres, True)
+        scale = float(jnp.max(jnp.abs(r_hi)))
+        scale = scale if scale > 0 else 1.0
+        d32, st = inner(r_hi / jnp.float32(scale))
+        total_inner += int(np.asarray(st.iters))
+        x_hi, x_lo = update(x_hi, x_lo, d32, jnp.float32(scale))
+        r_hi, r_lo, rnorm = resid_df(x_hi, x_lo)
+    relres = float(rnorm) / bnorm
+    return df_to_f64(DF(x_hi, x_lo)), RefineStats(
+        max_outer, total_inner, relres, relres <= rtol)

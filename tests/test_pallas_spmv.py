@@ -39,6 +39,17 @@ def test_pallas_dia_matches_xla_multi_block():
     A = _dia_system(8)
     x = jnp.asarray(np.random.default_rng(1).standard_normal(A.n_rows))
     y_ref = np.asarray(spmv_dia(A, x))
-    # force several row blocks (block must stay >= halo window)
-    y = np.asarray(spmv_dia_pallas(A, x, block=256, interpret=True))
+    # force several row blocks within one chunk
+    y = np.asarray(spmv_dia_pallas(A, x, block_rows=8, interpret=True))
+    assert np.allclose(y, y_ref, atol=1e-12)
+
+
+def test_pallas_dia_matches_xla_chunked():
+    """x larger than the VMEM budget: the XLA-level chunk wrapper."""
+    A = _dia_system(10)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(A.n_rows))
+    y_ref = np.asarray(spmv_dia(A, x))
+    # tiny budget -> several chunks (each >= one block + halo window)
+    y = np.asarray(spmv_dia_pallas(A, x, block_rows=8, vmem_x_rows=32,
+                                   interpret=True))
     assert np.allclose(y, y_ref, atol=1e-12)

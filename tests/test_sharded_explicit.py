@@ -33,6 +33,8 @@ def test_sharded_explicit_matches_single_2d(n_shards):
                                     probe_dofs=(10, 11))
     assert np.allclose(res.disp, ref.disp, rtol=1e-9, atol=1e-12)
     assert np.allclose(res.velo, ref.velo, rtol=1e-9, atol=1e-12)
+    assert np.allclose(res.acce, ref.acce, rtol=1e-9, atol=1e-10)
+    assert np.abs(res.acce).max() > 0
     assert np.allclose(res.probe_history, ref.probe_history,
                        rtol=1e-9, atol=1e-12)
 
@@ -50,3 +52,4 @@ def test_sharded_explicit_matches_single_3d():
     res = explicit_dynamics_sharded(mesh, dbc, E, nu, dens, dt, nsteps,
                                     device_mesh=dm, bforce_fn=bf)
     assert np.allclose(res.disp, ref.disp, rtol=1e-8, atol=1e-12)
+    assert np.allclose(res.acce, ref.acce, rtol=1e-8, atol=1e-9)
