@@ -2,9 +2,16 @@
 
 Headline metric: SpMV throughput (nnz/s) on the flagship 3D tet Poisson
 system — the hot loop of the reference's KSPSolve (SURVEY §6 / BASELINE.md).
-Also measures assembly throughput (elems/s), a full f32 CG solve, and the
-mixed-precision refined solve to the reference's 1e-8 double-precision
-target.
+Also measures:
+  * structured (slice-add + slice-reduce) assembly — the driver fast path,
+  * the general precomputed-scatter assembly (unstructured-mesh path),
+  * full f32 CG and geometric-multigrid CG solves,
+  * the double-float refined solve to the reference's 1e-8 f64 target,
+  * a 48M-element stage (the reference's largest demonstrated run,
+    README.md:19-21) solved on ONE chip.
+
+Utilization is reported as effective GB/s and % of peak HBM bandwidth
+(traffic model: (D+2)*N*4 bytes per DIA SpMV).
 
 vs_baseline: the reference publishes no numbers (BASELINE.json published={}),
 so the baseline is an estimate of PETSc MPIAIJ SpMV on one modern CPU socket:
@@ -15,6 +22,12 @@ so the baseline is an estimate of PETSc MPIAIJ SpMV on one modern CPU socket:
 import json
 import sys
 import time
+
+import numpy as np
+
+BASELINE_NNZ_PER_S = 1.0e9
+PEAK_HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5": 819.0,
+                 "TPU v4": 1228.0, "TPU v6 lite": 1640.0}
 
 
 def _log(msg):
@@ -27,174 +40,167 @@ def _sync(*arrays):
     import jax.numpy as jnp
     return [float(jnp.sum(a)) for a in arrays]
 
-import numpy as np
 
-BASELINE_NNZ_PER_S = 1.0e9
+def _peak_gbps(dev) -> float:
+    name = str(dev)
+    for k, v in PEAK_HBM_GBPS.items():
+        if k in name:
+            return v
+    return 819.0
 
 
-def main():
+_RT = None
+
+
+def _roundtrip() -> float:
+    """Fixed host<->device dispatch+readback latency (the axon tunnel costs
+    ~24ms per sync); subtracted from chained-loop timings."""
+    global _RT
+    if _RT is not None:
+        return _RT
     import jax
+    import jax.numpy as jnp
+    t = jnp.ones((8, 128), jnp.float32)
+    tiny = jax.jit(lambda t: t * 1.0001)
+    _sync(tiny(t))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(tiny(t))
+        best = min(best, time.perf_counter() - t0)
+    _RT = best
+    _log(f"calibrated dispatch roundtrip {best*1e3:.1f}ms")
+    return _RT
 
-    jax.config.update("jax_enable_x64", True)  # for the f64 refinement outer
-    # Persistent compile cache: the axon remote-compile tunnel costs minutes
-    # per kernel; cached reruns skip it entirely.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+def flagship(n: int, detail: dict):
+    import jax
     import jax.numpy as jnp
 
     from pfemfort_tpu.assembly.assemble import (
-        assemble_matrix,
-        assemble_rhs,
-        dirichlet_rhs_correction,
-    )
+        assemble_matrix, assemble_rhs, dirichlet_rhs_correction)
     from pfemfort_tpu.assembly.pattern import build_pattern
     from pfemfort_tpu.dofs.dofmap import build_dofmap, reduced_lattice
+    from pfemfort_tpu.drivers.common import build_reduced_assembler
     from pfemfort_tpu.elements.geometry import to_element_minor
     from pfemfort_tpu.elements.poisson import poisson_element_matrices
     from pfemfort_tpu.mesh import generate
     from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
-    from pfemfort_tpu.solve.refine import cg_with_refinement
     from pfemfort_tpu.sparse.ops import operator_and_diag
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     dtype = jnp.float32
+    peak = _peak_gbps(jax.devices()[0])
+    element_fn = lambda c: poisson_element_matrices(c, "tetra4", source=-6.0)
 
     t_host0 = time.perf_counter()
     mesh, dbc = generate.box_tet(0, 1, n, 0, 1, n, 0, 1, n)
     dofmap = build_dofmap(mesh, 1, dbc)
+    assemble_reduced, _ = build_reduced_assembler(
+        mesh, 1, dofmap, element_fn, dtype)
+    t_host = time.perf_counter() - t_host0
+    _log(f"host setup {t_host:.1f}s, E={mesh.n_elem}, N={dofmap.total_dof}")
+
+    coords_e = jnp.asarray(to_element_minor(mesh.elem_coords()), dtype=dtype)
+
+    # --- structured assembly (the driver fast path) ---
+    # Chained repeats with a value dependency (so XLA cannot hoist the
+    # loop-invariant assembly) + roundtrip subtraction: single-call timings
+    # through the tunnel are dominated by the ~24ms dispatch latency.
+    rt = _roundtrip()
+
+    def bench_assembly(asm_fn, label, reps=8):
+        @jax.jit
+        def chain(coords_e):
+            def body(s, carry):
+                A_, b_ = asm_fn(coords_e * (1.0 + 1e-12 * carry))
+                return jnp.sum(b_)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        t0 = time.perf_counter()
+        _sync(chain(coords_e))
+        _log(f"{label} compile+run {time.perf_counter()-t0:.1f}s")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(chain(coords_e))
+            best = min(best, (time.perf_counter() - t0 - rt) / reps)
+        eps = mesh.n_elem / best
+        _log(f"{label} {best*1e3:.0f}ms -> {eps/1e6:.1f}M elems/s")
+        return eps
+
+    A, b = jax.jit(assemble_reduced)(coords_e)
+    _sync(A.vals, b)
+    elems_per_s = bench_assembly(assemble_reduced, "structured assembly")
+
+    # --- general (precomputed-scatter) assembly ---
+    t0 = time.perf_counter()
     pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof,
                             lattice=reduced_lattice(mesh, dofmap))
-    t_host = time.perf_counter() - t_host0
-    _log(f"host setup {t_host:.1f}s, E={mesh.n_elem}, N={dofmap.total_dof}, layout={pattern.layout}")
-
-    coords_e = jnp.asarray(to_element_minor(mesh.elem_coords()),
-                           dtype=dtype)
+    _log(f"general pattern build {time.perf_counter()-t0:.1f}s")
     ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T,
                         dtype=dtype)
 
-    @jax.jit
-    def assemble(coords_e, ubc_e):
-        Ke, Fe_src = poisson_element_matrices(coords_e, "tetra4",
-                                              source=-6.0)
-        A = assemble_matrix(Ke, pattern)
-        b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
-                         pattern)
-        return A, b
+    def assemble_general(coords_e):
+        Ke, Fe_src = element_fn(coords_e)
+        Ag = assemble_matrix(Ke, pattern)
+        bg = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
+                          pattern)
+        return Ag, bg
 
-    # --- assembly throughput ---
-    t0 = time.perf_counter()
-    A, b = assemble(coords_e, ubc_e)  # compile+warm
-    _sync(A.vals, b)
-    _log(f"assemble compile+run {time.perf_counter()-t0:.1f}s")
-    t_asm = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        A, b = assemble(coords_e, ubc_e)
-        _sync(A.vals, b)
-        t_asm = min(t_asm, time.perf_counter() - t0)
-    elems_per_s = mesh.n_elem / t_asm
-    _log(f"assembly {t_asm*1e3:.0f}ms -> {elems_per_s/1e6:.1f}M elems/s")
+    Ag, bg = jax.jit(assemble_general)(coords_e)
+    err_asm = float(jnp.max(jnp.abs(bg - b)))
+    _log(f"structured-vs-general rhs err {err_asm:.2e}")
+    del Ag, bg
+    general_elems_per_s = bench_assembly(assemble_general,
+                                         "general assembly", reps=2)
 
-    # nnz of the assembled operator (count nonzero DIA slots on device)
-    if pattern.layout == "dia":
-        nnz = int(jnp.sum(A.vals != 0))
-    else:
-        nnz = pattern.nnz
+    N = dofmap.total_dof
+    D = len(A.offsets)
+    nnz = int(jnp.sum(A.vals != 0))
+    spmv_bytes = (D * N + 2 * N) * 4
 
-    # --- SpMV throughput ---
-    x = jnp.ones((dofmap.total_dof,), dtype=dtype)
+    # --- SpMV throughput: XLA stencil and Pallas kernel ---
+    x = jnp.ones((N,), dtype=dtype)
 
-    @jax.jit
-    def spmv_chain(A_vals, x, iters=50):
-        op, _ = operator_and_diag(A._replace(vals=A_vals))
-
-        def body(i, x):
-            y = op(x)
-            return y / (jnp.max(jnp.abs(y)) + 1e-30)
-        return jax.lax.fori_loop(0, iters, body, x)
-
-    t0 = time.perf_counter()
-    y = jax.block_until_ready(spmv_chain(A.vals, x))
-    _log(f"spmv compile {time.perf_counter()-t0:.1f}s")
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        y = spmv_chain(A.vals, x)
-    jax.block_until_ready(y)
-    t_spmv = (time.perf_counter() - t0) / (reps * 50)
-    nnz_per_s = nnz / t_spmv
-    _log(f"spmv {t_spmv*1e6:.0f}us -> {nnz_per_s/1e9:.2f} Gnnz/s")
-
-    # --- Pallas DIA SpMV kernel (x window DMA'd to VMEM once per block) ---
-    pallas_nnz_per_s = 0.0
-    if pattern.layout == "dia":
-        try:
-            from pfemfort_tpu.sparse.pallas_spmv import spmv_dia_pallas
-
-            @jax.jit
-            def pspmv_chain(A_vals, x, iters=50):
-                Am = A._replace(vals=A_vals)
-
-                def body(i, x):
-                    y = spmv_dia_pallas(Am, x)
-                    return y / (jnp.max(jnp.abs(y)) + 1e-30)
-                return jax.lax.fori_loop(0, iters, body, x)
-
-            yp = pspmv_chain(A.vals, x)
-            _sync(yp)
-            err = float(jnp.max(jnp.abs(
-                spmv_dia_pallas(A._replace(vals=A.vals), x)
-                - spmv_chain(A.vals, x, 1))))
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                yp = pspmv_chain(A.vals, x)
-            _sync(yp)
-            t_p = (time.perf_counter() - t0) / (reps * 50)
-            pallas_nnz_per_s = nnz / t_p
-            _log(f"pallas spmv {t_p*1e6:.0f}us -> "
-                 f"{pallas_nnz_per_s/1e9:.2f} Gnnz/s")
-        except Exception as ex:  # keep bench robust if Mosaic rejects
-            _log(f"pallas spmv unavailable: {type(ex).__name__}: "
-                 f"{str(ex)[:120]}")
-    nnz_per_s = max(nnz_per_s, pallas_nnz_per_s)
-
-    # --- structured slice-add assembly (the scatter-free fast path the
-    # generated box meshes unlock; full-system rows) ---
-    structured_elems_per_s = 0.0
-    if mesh.structure is not None:
-        from pfemfort_tpu.assembly.structured import (
-            assemble_dia_structured, build_structured_plan)
-        from pfemfort_tpu.elements.geometry import to_element_minor as _em
-
-        plan = build_structured_plan(n, n, n)
-
+    def bench_spmv(op, label, iters=400):
         @jax.jit
-        def assemble_structured(coords_e):
-            Ke, _ = poisson_element_matrices(coords_e, "tetra4",
-                                             source=-6.0)
-            return assemble_dia_structured(Ke, plan)
-
+        def chain(vals, x):
+            def body(i, x):
+                return op(vals, x) * 0.999
+            return jax.lax.fori_loop(0, iters, body, x)
         t0 = time.perf_counter()
-        As = assemble_structured(coords_e)
-        _sync(As.vals)
-        _log(f"structured assemble compile+run {time.perf_counter()-t0:.1f}s")
-        t_s = float("inf")
+        _sync(chain(A.vals, x))
+        _log(f"{label} compile {time.perf_counter()-t0:.1f}s")
+        best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            As = assemble_structured(coords_e)
-            _sync(As.vals)
-            t_s = min(t_s, time.perf_counter() - t0)
-        structured_elems_per_s = mesh.n_elem / t_s
-        _log(f"structured assembly {t_s*1e3:.0f}ms -> "
-             f"{structured_elems_per_s/1e6:.1f}M elems/s")
-        del As
+            _sync(chain(A.vals, x))
+            best = min(best, (time.perf_counter() - t0 - rt) / iters)
+        gbps = spmv_bytes / best / 1e9
+        _log(f"{label}: {best*1e6:.0f}us, {gbps:.0f} GB/s "
+             f"({100*gbps/peak:.0f}% of {peak:.0f} peak), "
+             f"{nnz/best/1e9:.2f} Gnnz/s")
+        return best, gbps
+
+    from pfemfort_tpu.sparse.dia import spmv_dia
+    t_x, gb_x = bench_spmv(lambda v, x: spmv_dia(A._replace(vals=v), x),
+                           "xla spmv")
+    t_p, gb_p = float("inf"), 0.0
+    try:
+        from pfemfort_tpu.sparse.pallas_spmv import spmv_dia_pallas
+        t_p, gb_p = bench_spmv(
+            lambda v, x: spmv_dia_pallas(A._replace(vals=v), x),
+            "pallas spmv")
+    except Exception as ex:
+        _log(f"pallas spmv unavailable: {type(ex).__name__}: "
+             f"{str(ex)[:160]}")
+    t_spmv = min(t_x, t_p)
+    nnz_per_s = nnz / t_spmv
 
     # --- full f32 CG solve ---
     @jax.jit
     def solve(A_vals, b):
         op, diag = operator_and_diag(A._replace(vals=A_vals))
-        return cg_solve(op, b,
-                        precond=jacobi_preconditioner(diag),
+        return cg_solve(op, b, precond=jacobi_preconditioner(diag),
                         rtol=1e-6, maxiter=5000)
     t0 = time.perf_counter()
     u, stats = solve(A.vals, b)
@@ -203,22 +209,23 @@ def main():
     t0 = time.perf_counter()
     u, stats = solve(A.vals, b)
     _sync(u)
-    t_solve = time.perf_counter() - t0
-    _log(f"cg f32 {t_solve:.2f}s, {int(np.asarray(stats.iters))} iters")
+    t_solve = max(time.perf_counter() - t0 - rt, 1e-9)
+    cg_iters = int(np.asarray(stats.iters))
+    _log(f"cg f32 {t_solve:.2f}s, {cg_iters} iters")
+    u_exact_red = jnp.asarray(
+        (mesh.coords ** 2).sum(axis=1)[dofmap.assy_for_soln], dtype=dtype)
+    err_cg = float(jnp.max(jnp.abs(u - u_exact_red)))
+    del u
 
-    # --- geometric-multigrid CG on the full-node lattice system (the
-    # PC=hypre analog; solve/multigrid.py) ---
+    # --- geometric-multigrid CG (PC=hypre analog) on the full system ---
     mg_iters, mg_solve_s = -1, float("inf")
-    if mesh.structure is not None:
+    try:
         from pfemfort_tpu.assembly.fullsystem import zero_dirichlet_rows
         from pfemfort_tpu.assembly.structured import (
-            assemble_rhs_structured, build_structured_plan)
-        from pfemfort_tpu.dofs.dofmap import build_dofmap as _bd
-        from pfemfort_tpu.solve.multigrid import (
-            build_gmg, gmg_preconditioner)
+            assemble_dia_structured, assemble_rhs_structured,
+            build_structured_plan)
+        from pfemfort_tpu.solve.multigrid import build_gmg, gmg_preconditioner
 
-        element_fn = lambda c: poisson_element_matrices(
-            c, "tetra4", source=-6.0)
         bc_mask_np = ~dofmap.free_mask_full()
         t0 = time.perf_counter()
         mg = build_gmg(mesh, 1, bc_mask_np, element_fn, dtype=dtype)
@@ -230,10 +237,7 @@ def main():
 
         @jax.jit
         def solve_mg(coords_e, mg_arrays):
-            Ke, Fe_src = poisson_element_matrices(coords_e, "tetra4",
-                                                  source=-6.0)
-            from pfemfort_tpu.assembly.structured import (
-                assemble_dia_structured)
+            Ke, Fe_src = element_fn(coords_e)
             Af = assemble_dia_structured(Ke, plan_mg)
             bf = assemble_rhs_structured(Fe_src, plan_mg)
             Af, bf = zero_dirichlet_rows(Af, bf, bc_mask_j, bc_vals_j)
@@ -250,64 +254,187 @@ def main():
         t0 = time.perf_counter()
         umg, mstats = solve_mg(coords_e, mg[0])
         _sync(umg)
-        mg_solve_s = time.perf_counter() - t0
+        mg_solve_s = max(time.perf_counter() - t0 - rt, 1e-9)
         mg_iters = int(np.asarray(mstats.iters))
-        err_mg = float(jnp.max(jnp.abs(
-            umg - jnp.asarray((mesh.coords ** 2).sum(axis=1), dtype=dtype))))
-        _log(f"mg-cg f32 {mg_solve_s:.2f}s, {mg_iters} iters, "
-             f"nodal err {err_mg:.1e}")
+        _log(f"mg-cg f32 {mg_solve_s:.2f}s, {mg_iters} iters")
         del umg
+    except Exception as ex:
+        _log(f"mg stage failed: {type(ex).__name__}: {str(ex)[:160]}")
 
-    # --- mixed-precision refined solve to 1e-8 (true f64 residual) ---
-    coords64 = jnp.asarray(to_element_minor(mesh.elem_coords()),
-                           dtype=jnp.float64)
-    ubc64 = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T,
-                        dtype=jnp.float64)
-    A64, b64 = assemble(coords64, ubc64)
-    op64, _ = operator_and_diag(A64)
-    op32, diag32 = operator_and_diag(A)
+    # --- double-float refined solve to 1e-8 TRUE f64 residual ---
+    from pfemfort_tpu.solve.cg import jacobi_preconditioner as jp32
+    from pfemfort_tpu.solve.refine import cg_with_refinement_df
+    from pfemfort_tpu.sparse.dia import DIAMatrix, dia_diagonal
+
+    cpu = jax.local_devices(backend="cpu")[0]
     t0 = time.perf_counter()
-    x64, rstats = cg_with_refinement(
-        op64, op32, b64,
-        precond32=jacobi_preconditioner(diag32),
+    with jax.enable_x64(True), jax.default_device(cpu):
+        asm64, _ = build_reduced_assembler(mesh, 1, dofmap, element_fn,
+                                           jnp.float64)
+        A64, b64 = jax.jit(asm64)(
+            jax.device_put(to_element_minor(mesh.elem_coords()), cpu))
+        vals64 = np.asarray(A64.vals, dtype=np.float64)
+        b64h = np.asarray(b64, dtype=np.float64)
+    _log(f"f64 host-CPU assembly {time.perf_counter()-t0:.1f}s")
+    A32 = DIAMatrix(vals=jnp.asarray(vals64, dtype=jnp.float32),
+                    offsets=A64.offsets, n_rows=A64.n_rows,
+                    lattice=A64.lattice)
+    op32, diag32 = operator_and_diag(A32)
+    t0 = time.perf_counter()
+    x64, rstats = cg_with_refinement_df(
+        A64.offsets, vals64, b64h, op32=op32, precond32=jp32(diag32),
         rtol=1e-8, inner_rtol=1e-5)
-    _sync(x64)
     t_refine = time.perf_counter() - t0
-    _log(f"refined solve {t_refine:.1f}s")
-    u_exact = (mesh.coords ** 2).sum(axis=1)
-    u_full = dofmap.expand_solution(np.asarray(x64))
-    nodal_err = float(np.abs(u_full - u_exact).max())
+    _log(f"df refined solve {t_refine:.1f}s "
+         f"({rstats.outer_iters} outer / {rstats.total_inner_iters} inner, "
+         f"relres {rstats.relres:.1e})")
+    u_full = dofmap.expand_solution(x64)
+    nodal_err = float(np.abs(u_full - (mesh.coords ** 2).sum(axis=1)).max())
+
+    detail.update({
+        "mesh": f"tet {n}x{n}x{n}x6 = {mesh.n_elem} elems",
+        "n_dof": int(N),
+        "nnz": nnz,
+        "dia_offsets": D,
+        "host_setup_s": float(t_host),
+        "structured_assembly_elems_per_s": float(elems_per_s),
+        "general_assembly_elems_per_s": float(general_elems_per_s),
+        "spmv_s": float(t_spmv),
+        "spmv_gbps": float(spmv_bytes / t_spmv / 1e9),
+        "spmv_pct_peak": float(100 * spmv_bytes / t_spmv / 1e9 / peak),
+        "spmv_xla_gbps": float(gb_x),
+        "spmv_pallas_gbps": float(gb_p),
+        "spmv_pallas_nnz_per_s": float(nnz / t_p) if t_p < 1e9 else 0.0,
+        "cg_f32_iters": cg_iters,
+        "cg_f32_relres": float(np.asarray(stats.relres)),
+        "cg_f32_solve_s": float(t_solve),
+        "cg_f32_nodal_err": err_cg,
+        "mg_cg_iters": mg_iters,
+        "mg_cg_solve_s": float(mg_solve_s),
+        "refined_inner_iters": int(rstats.total_inner_iters),
+        "refined_outer_iters": int(rstats.outer_iters),
+        "refined_relres_f64": float(rstats.relres),
+        "refined_solve_s": float(t_refine),
+        "nodal_err_vs_exact": nodal_err,
+        "peak_hbm_gbps": peak,
+    })
+    return nnz_per_s
+
+
+def large_stage(n: int, detail: dict):
+    """The 48M-element class (reference: 200^3*6 tets on 40 MPI ranks,
+    README.md:19-21) on ONE chip: structured assembly + reduce + Jacobi-CG."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.dofs.dofmap import build_dofmap
+    from pfemfort_tpu.drivers.common import build_reduced_assembler
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    from pfemfort_tpu.elements.poisson import poisson_element_matrices
+    from pfemfort_tpu.mesh import generate
+    from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
+    from pfemfort_tpu.sparse.ops import operator_and_diag
+
+    dtype = jnp.float32
+    peak = _peak_gbps(jax.devices()[0])
+    element_fn = lambda c: poisson_element_matrices(c, "tetra4", source=-6.0)
+    t_all = time.perf_counter()
+    t0 = time.perf_counter()
+    mesh, dbc = generate.box_tet(0, 1, n, 0, 1, n, 0, 1, n)
+    dofmap = build_dofmap(mesh, 1, dbc)
+    assemble_reduced, _ = build_reduced_assembler(
+        mesh, 1, dofmap, element_fn, dtype)
+    coords_e = jnp.asarray(
+        to_element_minor(mesh.elem_coords()).astype(np.float32))
+    t_host = time.perf_counter() - t0
+    _log(f"[48M] host setup {t_host:.1f}s, E={mesh.n_elem}, "
+         f"N={dofmap.total_dof}")
+
+    @jax.jit
+    def asm(coords_e):
+        return assemble_reduced(coords_e)
+
+    t0 = time.perf_counter()
+    A, b = asm(coords_e)
+    _sync(b)
+    _log(f"[48M] assemble compile+run {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    A, b = asm(coords_e)
+    _sync(b)
+    t_asm = time.perf_counter() - t0
+    _log(f"[48M] assembly {t_asm:.2f}s -> {mesh.n_elem/t_asm/1e6:.1f}M "
+         f"elems/s")
+    del coords_e
+
+    N = dofmap.total_dof
+    D = len(A.offsets)
+
+    @jax.jit
+    def solve(A_vals, b):
+        op, diag = operator_and_diag(A._replace(vals=A_vals))
+        return cg_solve(op, b, precond=jacobi_preconditioner(diag),
+                        rtol=1e-6, maxiter=5000)
+    t0 = time.perf_counter()
+    u, stats = solve(A.vals, b)
+    _sync(u)
+    _log(f"[48M] cg compile+run {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    u, stats = solve(A.vals, b)
+    _sync(u)
+    t_solve = time.perf_counter() - t0
+    iters = int(np.asarray(stats.iters))
+    per_iter = t_solve / max(iters, 1)
+    gbps = (D + 2) * N * 4 / per_iter / 1e9  # SpMV traffic dominates
+    u_exact_red = jnp.asarray(
+        (mesh.coords ** 2).sum(axis=1)[dofmap.assy_for_soln], dtype=dtype)
+    err = float(jnp.max(jnp.abs(u - u_exact_red)))
+    _log(f"[48M] cg f32 {t_solve:.1f}s, {iters} iters, "
+         f"~{gbps:.0f} GB/s in-solve, nodal err {err:.1e}, "
+         f"converged={bool(np.asarray(stats.converged))}")
+    detail["large"] = {
+        "mesh": f"tet {n}x{n}x{n}x6 = {mesh.n_elem} elems",
+        "n_elem": int(mesh.n_elem),
+        "n_dof": int(N),
+        "host_setup_s": float(t_host),
+        "assembly_s": float(t_asm),
+        "assembly_elems_per_s": float(mesh.n_elem / t_asm),
+        "cg_iters": iters,
+        "cg_solve_s": float(t_solve),
+        "cg_converged": bool(np.asarray(stats.converged)),
+        "in_solve_gbps": float(gbps),
+        "in_solve_pct_peak": float(100 * gbps / peak),
+        "nodal_err_vs_exact": err,
+        "total_s": float(time.perf_counter() - t_all),
+    }
+
+
+def main():
+    import jax
+
+    # Persistent compile cache: the axon remote-compile tunnel costs minutes
+    # per kernel; cached reruns skip it entirely.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+
+    detail = {"device": str(jax.devices()[0]),
+              "dtype": "float32 (+double-float refinement)"}
+    nnz_per_s = flagship(n, detail)
+    if n_large > 0:
+        try:
+            large_stage(n_large, detail)
+        except Exception as ex:
+            _log(f"[48M] stage failed: {type(ex).__name__}: {str(ex)[:300]}")
+            detail["large"] = {"error": f"{type(ex).__name__}: {str(ex)[:300]}"}
 
     result = {
         "metric": "spmv_nnz_per_s",
         "value": float(nnz_per_s),
         "unit": "nnz/s",
         "vs_baseline": float(nnz_per_s / BASELINE_NNZ_PER_S),
-        "detail": {
-            "mesh": f"tet {n}x{n}x{n}x6 = {mesh.n_elem} elems",
-            "n_dof": int(dofmap.total_dof),
-            "nnz": int(nnz),
-            "layout": pattern.layout,
-            "dia_offsets": pattern.n_offsets,
-            "host_setup_s": float(t_host),
-            "assembly_elems_per_s": float(elems_per_s),
-            "structured_assembly_elems_per_s": float(structured_elems_per_s),
-            "assembly_s": float(t_asm),
-            "spmv_s": float(t_spmv),
-            "spmv_pallas_nnz_per_s": float(pallas_nnz_per_s),
-            "cg_f32_iters": int(np.asarray(stats.iters)),
-            "cg_f32_relres": float(np.asarray(stats.relres)),
-            "cg_f32_solve_s": float(t_solve),
-            "mg_cg_iters": mg_iters,
-            "mg_cg_solve_s": float(mg_solve_s),
-            "refined_inner_iters": int(rstats.total_inner_iters),
-            "refined_outer_iters": int(rstats.outer_iters),
-            "refined_relres_f64": float(rstats.relres),
-            "refined_solve_s": float(t_refine),
-            "nodal_err_vs_exact": nodal_err,
-            "dtype": "float32 (+f64 refinement)",
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

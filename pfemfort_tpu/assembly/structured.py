@@ -182,3 +182,87 @@ def assemble_rhs_structured(Fe: jnp.ndarray,
         blk = Fc[nr, :, c].reshape(nez, ney, nex)
         rhs = rhs.at[rz:rz + nez, ry:ry + ney, rx:rx + nex, ci].add(blk)
     return rhs.reshape(-1)
+
+
+def reduce_structured_system(A_full: DIAMatrix, b_full: jnp.ndarray,
+                             free_box, full_shape,
+                             bc_values: jnp.ndarray):
+    """FULL lattice system -> REDUCED (BC-eliminated) lattice system by pure
+    slicing — no scatters.
+
+    The reference's reduced numbering (triapoissonserialimpl1.F:320-394 —
+    free equations only, Dirichlet contributions moved to the rhs) normally
+    costs a general scatter-add; when the free nodes form a contiguous
+    sub-box of the generator lattice (dofs/dofmap.py:reduced_lattice), the
+    reduced DIA values are a SLICE of the full DIA lattice, and the
+    Dirichlet rhs correction b -= A[:, bc] u_bc is D shifted multiplies of a
+    masked u_bc — everything runs at HBM bandwidth.
+
+    Args:
+      A_full: structured full-node-system DIA (lattice-shaped values).
+      b_full: (n_full,) source-term rhs of the full system.
+      free_box: per-axis index arrays (z0..z1, y0..y1, x0..x1 slices) of the
+        free sub-box, as ((z0, nz'), (y0, ny'), (x0, nx')).
+      full_shape: (nnz, nny, nnx) full node lattice.
+      bc_values: (n_full,) applied Dirichlet values (0 on free nodes).
+    Returns (A_red: DIAMatrix with lattice=(nz', ny', nx'), b_red).
+    """
+    import jax
+
+    from pfemfort_tpu.sparse.dia import decompose_offsets
+
+    shifts = decompose_offsets(A_full.offsets, full_shape)
+    assert shifts is not None, "full offsets must decompose on the lattice"
+    nd = len(full_shape)
+    starts = [b[0] for b in free_box]
+    red_shape = tuple(b[1] for b in free_box)
+    red_strides = [1] * nd
+    for a in range(nd - 2, -1, -1):
+        red_strides[a] = red_strides[a + 1] * red_shape[a + 1]
+    n_red = int(np.prod(red_shape))
+
+    vals_lat = A_full.vals.reshape((len(A_full.offsets),) + tuple(full_shape))
+    bc_lat = bc_values.reshape(full_shape).astype(b_full.dtype)
+    b_lat = b_full.reshape(full_shape)
+
+    # pad shifted reads so boxes touching a lattice edge stay in bounds
+    pads = [max((abs(int(s[a])) for s in shifts), default=0)
+            for a in range(nd)]
+
+    def box_slice(arr, extra_shift=None):
+        if extra_shift is None:
+            idx = tuple(slice(starts[a], starts[a] + red_shape[a])
+                        for a in range(nd))
+            return arr[idx]
+        arrp = jnp.pad(arr, [(p, p) for p in pads])
+        idx = tuple(slice(starts[a] + pads[a] + int(extra_shift[a]),
+                          starts[a] + pads[a] + int(extra_shift[a])
+                          + red_shape[a])
+                    for a in range(nd))
+        return arrp[idx]
+
+    free_mask = jnp.zeros(full_shape, dtype=bool)
+    free_mask = free_mask.at[tuple(
+        slice(starts[a], starts[a] + red_shape[a])
+        for a in range(nd))].set(True)
+
+    red_offsets = []
+    red_vals = []
+    b_red = box_slice(b_lat)
+    for d, sh in enumerate(shifts):
+        o_red = sum(int(sh[a]) * red_strides[a] for a in range(nd))
+        v_free = box_slice(vals_lat[d])          # (red_shape): rows r free
+        # column node r + shift: free -> matrix entry; BC -> rhs correction
+        col_free = box_slice(free_mask, sh)      # does the col stay in box?
+        col_bc = box_slice(bc_lat, sh)           # applied value at col
+        red_offsets.append(int(o_red))
+        red_vals.append(jnp.where(col_free, v_free, 0.0).reshape(-1))
+        b_red = b_red - v_free * jnp.where(col_free, 0.0, col_bc)
+
+    order = np.argsort(red_offsets)
+    A_red = DIAMatrix(
+        vals=jnp.stack([red_vals[i] for i in order]),
+        offsets=tuple(int(red_offsets[i]) for i in order),
+        n_rows=n_red,
+        lattice=red_shape)
+    return A_red, b_red.reshape(-1)

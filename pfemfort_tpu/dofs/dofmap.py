@@ -54,23 +54,27 @@ class DofMap:
         return full
 
 
-def reduced_lattice(mesh: Mesh, dofmap: DofMap):
-    """Node-lattice shape of the REDUCED system, or None.
-
-    When the mesh is a structured lattice (mesh.structure) and the free
-    nodes form a contiguous rectangular sub-box (e.g. all-face Dirichlet
-    leaves the interior box), the reduced equation numbering is itself
-    row-major over that sub-lattice — unlocking the stencil SpMV fast path
-    (sparse/dia.py: DIAMatrix.lattice).  ndof must be 1 (flat per-axis
-    shift decomposition is ambiguous across interleaved components)."""
+def full_lattice(mesh: Mesh):
+    """Node-lattice shape of the FULL system for generator meshes, or None."""
     st = mesh.structure or {}
+    if st.get("kind") == "box_tet":
+        return (st["nez"] + 1, st["ney"] + 1, st["nex"] + 1)
+    if st.get("kind") == "rect_tria":
+        return (st["ney"] + 1, st["nex"] + 1)
+    return None
+
+
+def reduced_box(mesh: Mesh, dofmap: DofMap):
+    """Free-node sub-box of the generator lattice, or None.
+
+    Returns ((start, size) per axis) when the free nodes form a contiguous
+    rectangular sub-box (e.g. all-face Dirichlet leaves the interior box) —
+    the precondition for both the stencil SpMV fast path and the slice-only
+    full->reduced system reduction (assembly/structured.py)."""
     if dofmap.ndof != 1:
         return None
-    if st.get("kind") == "box_tet":
-        shape = (st["nez"] + 1, st["ney"] + 1, st["nex"] + 1)
-    elif st.get("kind") == "rect_tria":
-        shape = (st["ney"] + 1, st["nex"] + 1)
-    else:
+    shape = full_lattice(mesh)
+    if shape is None:
         return None
     free = dofmap.free_mask_full().reshape(shape)
     axes_idx = []
@@ -84,7 +88,15 @@ def reduced_lattice(mesh: Mesh, dofmap: DofMap):
     box[np.ix_(*axes_idx)] = True
     if not np.array_equal(box, free):
         return None
-    return tuple(len(i) for i in axes_idx)
+    return tuple((int(i[0]), len(i)) for i in axes_idx)
+
+
+def reduced_lattice(mesh: Mesh, dofmap: DofMap):
+    """Node-lattice shape of the REDUCED system, or None (see reduced_box).
+    ndof must be 1 (flat per-axis shift decomposition is ambiguous across
+    interleaved components)."""
+    box = reduced_box(mesh, dofmap)
+    return None if box is None else tuple(b[1] for b in box)
 
 
 def build_dofmap(mesh: Mesh, ndof: int, dirichlet: np.ndarray) -> DofMap:

@@ -39,6 +39,65 @@ class ImplicitResult(NamedTuple):
     timings: dict
 
 
+def build_reduced_assembler(mesh, ndof, dofmap, element_fn, dtype):
+    """Return (assemble(coords_em) -> (A, b_reduced), setup_seconds).
+
+    Picks the fastest formulation of the reference's reduced (BC-eliminated)
+    system for this mesh:
+      * generator-lattice meshes with a rectangular free box: scatter-FREE
+        structured slice-add assembly of the FULL system + slice-only
+        reduction (assembly/structured.py:reduce_structured_system) — no
+        pattern build, no segment sums, pure HBM streaming;
+      * everything else: the general precomputed-scatter path
+        (assembly/pattern.py + segment sums).
+    Both produce the identical reduced system (tests/test_structured.py).
+    """
+    from pfemfort_tpu.dofs.dofmap import full_lattice, reduced_box
+
+    t0 = time.perf_counter()
+    kind = (mesh.structure or {}).get("kind")
+    red_box = reduced_box(mesh, dofmap) if kind else None
+    if red_box is not None:
+        from pfemfort_tpu.assembly import structured as st
+
+        if kind == "box_tet":
+            plan = st.build_structured_plan(
+                mesh.structure["nex"], mesh.structure["ney"],
+                mesh.structure["nez"], ndof=ndof)
+            asm_mat, asm_rhs = (st.assemble_dia_structured,
+                                st.assemble_rhs_structured)
+        else:
+            plan = st.build_structured_plan_2d(
+                mesh.structure["nex"], mesh.structure["ney"], ndof=ndof)
+            asm_mat, asm_rhs = (st.assemble_dia_structured_2d,
+                                st.assemble_rhs_structured_2d)
+        shape = full_lattice(mesh)
+        bc_vals_full = jnp.asarray(dofmap.bc_values_full, dtype=dtype)
+
+        def assemble(coords_em):
+            Ke, Fe_src = element_fn(coords_em)
+            A_full = asm_mat(Ke, plan)
+            b_full = asm_rhs(Fe_src, plan)
+            return st.reduce_structured_system(
+                A_full, b_full, red_box, shape, bc_vals_full)
+
+        return assemble, time.perf_counter() - t0
+
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof,
+                            lattice=reduced_lattice(mesh, dofmap))
+    ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T,
+                        dtype=dtype)
+
+    def assemble(coords_em):
+        Ke, Fe_src = element_fn(coords_em)
+        A = assemble_matrix(Ke, pattern)
+        b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
+                         pattern)
+        return A, b
+
+    return assemble, time.perf_counter() - t0
+
+
 def _point_loads(dofmap, force_bc) -> np.ndarray:
     """Nodal ForceBC rows -> reduced rhs vector (row-ownership guard as in
     triaelasticityparallelimpl1.F:976-987)."""
@@ -85,14 +144,12 @@ def solve_implicit(
         dtype = jnp.zeros(0).dtype  # respect jax_enable_x64
     t0 = time.perf_counter()
     dofmap = build_dofmap(mesh, ndof, dirichlet)
-    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof,
-                            lattice=reduced_lattice(mesh, dofmap))
+    assemble_reduced, t_extra = build_reduced_assembler(
+        mesh, ndof, dofmap, element_fn, dtype)
     t_pattern = time.perf_counter() - t0
 
     coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
                             dtype=dtype)
-    ubc_e = jnp.asarray(
-        dofmap.bc_values_full[dofmap.elem_nodedof].T, dtype=dtype)
     fvec = jnp.asarray(_point_loads(dofmap, force_bc), dtype=dtype)
 
     if maxiter is None:
@@ -100,11 +157,9 @@ def solve_implicit(
     solver = cg_solve if method == "cg" else bicgstab_solve
 
     @jax.jit
-    def assemble_and_solve(coords_em, ubc_e, fvec):
-        Ke, Fe_src = element_fn(coords_em)
-        A = assemble_matrix(Ke, pattern)
-        Fe = Fe_src + dirichlet_rhs_correction(Ke, ubc_e)
-        b = assemble_rhs(Fe, pattern) + fvec
+    def assemble_and_solve(coords_em, fvec):
+        A, b = assemble_reduced(coords_em)
+        b = b + fvec
         operator, diag = operator_and_diag(A)
         u, stats = solver(
             operator,
@@ -117,7 +172,7 @@ def solve_implicit(
         return u, stats
 
     t1 = time.perf_counter()
-    u, stats = assemble_and_solve(coords_em, ubc_e, fvec)
+    u, stats = assemble_and_solve(coords_em, fvec)
     u = jax.block_until_ready(u)
     t_solve = time.perf_counter() - t1
 
@@ -259,42 +314,60 @@ def _solve_implicit_refined(
     rtol: float = 1e-8,
     maxiter: Optional[int] = None,
 ) -> ImplicitResult:
-    """Mixed-precision path: assemble in f64 and f32, refine to f64 rtol."""
-    from pfemfort_tpu.solve.refine import cg_with_refinement
+    """Mixed-precision path to the reference's f64 1e-8 target.
+
+    The f64 system is assembled ONCE on the host CPU backend (native f64,
+    no TPU x64 emulation, no accelerator compile); the refinement loop then
+    runs on the accelerator entirely in f32 with a compensated double-float
+    (f32x2) outer residual (solve/refine.py:cg_with_refinement_df).  ELL
+    (unstructured) systems keep the emulated-f64 outer loop."""
+    from pfemfort_tpu.solve.refine import cg_with_refinement, \
+        cg_with_refinement_df
+    from pfemfort_tpu.sparse.dia import DIAMatrix
 
     t0 = time.perf_counter()
     dofmap = build_dofmap(mesh, ndof, dirichlet)
-    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof,
-                            lattice=reduced_lattice(mesh, dofmap))
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu):
+        assemble64, _ = build_reduced_assembler(
+            mesh, ndof, dofmap, element_fn, jnp.float64)
+        coords64 = jax.device_put(to_element_minor(mesh.elem_coords()), cpu)
+        A64, b64 = jax.jit(assemble64)(coords64)
+        vals64 = np.asarray(A64.vals, dtype=np.float64)
+        b64h = (np.asarray(b64, dtype=np.float64)
+                + _point_loads(dofmap, force_bc))
     t_pattern = time.perf_counter() - t0
-
-    def assemble(dtype):
-        coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()),
-                                dtype=dtype)
-        ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T,
-                            dtype=dtype)
-        Ke, Fe_src = element_fn(coords_em)
-        A = assemble_matrix(Ke, pattern)
-        b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
-                         pattern)
-        return A, b
-
-    A64, b64 = assemble(jnp.float64)
-    A32, _ = assemble(jnp.float32)
-    b64 = b64 + jnp.asarray(_point_loads(dofmap, force_bc))
-
-    op64, _ = operator_and_diag(A64)
-    op32, diag32 = operator_and_diag(A32)
 
     if maxiter is None:
         maxiter = max(10 * dofmap.total_dof, 1000)
-    t1 = time.perf_counter()
-    x64, rstats = cg_with_refinement(
-        op64, op32, b64,
-        precond32=jacobi_preconditioner(diag32),
-        rtol=rtol, inner_maxiter=maxiter)
-    x64 = jax.block_until_ready(x64)
-    t_solve = time.perf_counter() - t1
+
+    if isinstance(A64, DIAMatrix):
+        A32 = DIAMatrix(vals=jnp.asarray(vals64, dtype=jnp.float32),
+                        offsets=A64.offsets, n_rows=A64.n_rows,
+                        lattice=A64.lattice)
+        op32, diag32 = operator_and_diag(A32)
+        t1 = time.perf_counter()
+        x_host, rstats = cg_with_refinement_df(
+            A64.offsets, vals64, b64h, op32=op32,
+            precond32=jacobi_preconditioner(diag32),
+            rtol=rtol, inner_maxiter=maxiter)
+        x64 = jnp.asarray(x_host)
+        t_solve = time.perf_counter() - t1
+    else:
+        with jax.enable_x64(True):
+            op64, _ = operator_and_diag(A64)
+            A32 = jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, A64)
+            op32, diag32 = operator_and_diag(A32)
+            t1 = time.perf_counter()
+            x64, rstats = cg_with_refinement(
+                op64, op32, jnp.asarray(b64h),
+                precond32=jacobi_preconditioner(diag32),
+                rtol=rtol, inner_maxiter=maxiter)
+            x64 = jax.block_until_ready(x64)
+            t_solve = time.perf_counter() - t1
 
     stats = SolveStats(
         iters=np.int32(rstats.total_inner_iters),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import Callable, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 
 from pfemfort_tpu.sparse.dia import DIAMatrix, dia_diagonal, spmv_dia
@@ -13,8 +14,23 @@ from pfemfort_tpu.sparse.spmv import extract_diagonal, spmv_ell
 Matrix = Union[DIAMatrix, ELLMatrix]
 
 
+def _use_pallas(A: DIAMatrix) -> bool:
+    """Route the DIA SpMV through the Pallas kernel on real TPU backends
+    (2.5x+ the XLA stencil's bandwidth; sparse/pallas_spmv.py).  CPU (tests)
+    and other backends keep the portable XLA path."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return A.vals.dtype == jnp.float32 and A.n_rows >= 1 << 14
+
+
 def operator_and_diag(A: Matrix) -> Tuple[Callable, jnp.ndarray]:
     """(x -> A x, diag(A)) for either sparse format."""
     if isinstance(A, DIAMatrix):
+        if _use_pallas(A):
+            from pfemfort_tpu.sparse.pallas_spmv import spmv_dia_pallas
+            return (lambda x: spmv_dia_pallas(A, x)), dia_diagonal(A)
         return (lambda x: spmv_dia(A, x)), dia_diagonal(A)
     return (lambda x: spmv_ell(A, x)), extract_diagonal(A)

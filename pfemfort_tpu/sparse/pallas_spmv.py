@@ -3,17 +3,23 @@
 The XLA version (sparse/dia.py:spmv_dia) re-reads a shifted copy of x from
 HBM for every diagonal (D ~ 15 overlapping streams) and lays 1-D vectors on
 a single sublane, capping it near 1/8 of HBM bandwidth.  This kernel views
-the row space as a 2-D (R, 128) array — full (8, 128) f32 tiles — keeps the
-(haloed) x resident in VMEM for the whole call, and streams vals in
-(D, rb, 128) blocks.  A flat shift by o becomes a sublane-shifted read plus
-one circular lane `pltpu.roll` stitched by a select (o = q*128 + r), so all
-D shifted FMAs run against VMEM data.  x traffic drops from D*N to ~N,
-leaving vals (D*N) as the only irreducible stream — a pure sequential read
-of D*N + 2N floats, the shape TPUs run at memory bandwidth.
+the row space as a 2-D (R, 128) array — full (8, 128) f32 tiles — and runs
+ONE pallas_call over a (chunk, block) grid:
 
-When x exceeds the VMEM budget the wrapper splits the rows into chunks at
-the XLA level (each chunk's x window is a static slice); the extra x
-traffic is ~1/D of the vals stream and does not change the bound.
+  * vals stream through the BlockSpec pipeline in (D, rb, 128) blocks,
+    indexed globally (no XLA-level slicing — a sliced operand would
+    materialize a full copy of the 15N-float vals array and double the
+    traffic, which measurement showed dominates);
+  * x is pre-duplicated ONCE into non-overlapping per-chunk windows
+    (chunk + halo rows; the duplication costs ~N + nchunks*halo floats,
+    ~1/D of the vals stream) and each window sits VMEM-resident for all the
+    row blocks of its chunk;
+  * a flat shift by o = q*128 + r becomes a sublane-shifted read plus one
+    circular lane `pltpu.roll` stitched by a select.
+
+x traffic drops from D*N to ~2N, leaving vals (D*N) as the only irreducible
+stream — a sequential read of (D+3)N floats, the shape TPUs run at memory
+bandwidth.
 
 NOTE: manual `make_async_copy` DMA from a pl.ANY/HBM operand crashes the
 TPU worker on this runtime — everything here goes through BlockSpec
@@ -40,15 +46,15 @@ LANES = 128
 
 def _kernel(vals_ref, x_ref, y_ref, *, offsets: Tuple[int, ...],
             wrow: int, rb: int):
-    i = pl.program_id(0)
+    i = pl.program_id(1)
     acc = jnp.zeros((rb, LANES), dtype=y_ref.dtype)
     for d, o in enumerate(offsets):
         op = o + wrow * LANES
         qo, ro = op // LANES, op % LANES
         if ro == 0:
-            xs = x_ref[pl.ds(i * rb + qo, rb), :]
+            xs = x_ref[0, pl.ds(i * rb + qo, rb), :]
         else:
-            seg = x_ref[pl.ds(i * rb + qo, rb + 1), :]
+            seg = x_ref[0, pl.ds(i * rb + qo, rb + 1), :]
             # rolled[r, c] = seg[r, (c + ro) % 128]
             rolled = pltpu.roll(seg, LANES - ro, axis=1)
             col = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
@@ -57,30 +63,11 @@ def _kernel(vals_ref, x_ref, y_ref, *, offsets: Tuple[int, ...],
     y_ref[:] = acc
 
 
-def _core(offsets, wrow: int, rb: int, vals2d, xwin, interpret: bool):
-    """vals2d (D, Rc, 128), xwin (Rc + 2*wrow + 1, 128) -> y (Rc, 128)."""
-    D, Rc, _ = vals2d.shape
-    nblocks = Rc // rb
-    return pl.pallas_call(
-        functools.partial(_kernel, offsets=offsets, wrow=wrow, rb=rb),
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((D, rb, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
-        ],
-        out_specs=pl.BlockSpec((rb, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rc, LANES), xwin.dtype),
-        interpret=interpret,
-    )(vals2d, xwin)
-
-
 def spmv_dia_pallas(A: DIAMatrix, x: jnp.ndarray,
                     block_rows: int = 256,
-                    vmem_x_rows: int = 8192,
+                    vmem_x_rows: int = 2048,
                     interpret: bool = False) -> jnp.ndarray:
-    """y = A x with VMEM-resident x windows and streamed vals blocks."""
+    """y = A x with VMEM-resident x chunk windows and streamed vals blocks."""
     offs = A.offsets
     D = len(offs)
     n = A.n_rows
@@ -93,6 +80,8 @@ def spmv_dia_pallas(A: DIAMatrix, x: jnp.ndarray,
     nchunks = pl.cdiv(R, Rc)
     Rpad = nchunks * Rc
     npad = Rpad * LANES
+    bpc = Rc // rb                     # blocks per chunk
+    Rcw = Rc + 2 * wrow + 1            # window rows per chunk
 
     vals = A.vals
     if npad != n:
@@ -102,15 +91,23 @@ def spmv_dia_pallas(A: DIAMatrix, x: jnp.ndarray,
         jnp.zeros((wrow * LANES,), dtype=x.dtype), x,
         jnp.zeros(((wrow + 1) * LANES + npad - n,), dtype=x.dtype)])
     xpad2d = xpad.reshape(-1, LANES)   # (Rpad + 2*wrow + 1, 128)
+    # non-overlapping window copies: (nchunks, Rcw, 128)
+    xwins = jnp.stack([
+        jax.lax.slice_in_dim(xpad2d, c * Rc, c * Rc + Rcw, axis=0)
+        for c in range(nchunks)])
 
-    if nchunks == 1:
-        y = _core(offs, wrow, rb, vals2d, xpad2d, interpret)
-        return y.reshape(-1)[:n]
-
-    parts = []
-    for c in range(nchunks):
-        vals_c = jax.lax.slice_in_dim(vals2d, c * Rc, (c + 1) * Rc, axis=1)
-        xwin = jax.lax.slice_in_dim(xpad2d, c * Rc,
-                                    (c + 1) * Rc + 2 * wrow + 1, axis=0)
-        parts.append(_core(offs, wrow, rb, vals_c, xwin, interpret))
-    return jnp.concatenate(parts, axis=0).reshape(-1)[:n]
+    y = pl.pallas_call(
+        functools.partial(_kernel, offsets=offs, wrow=wrow, rb=rb),
+        grid=(nchunks, bpc),
+        in_specs=[
+            pl.BlockSpec((D, rb, LANES), lambda c, i: (0, c * bpc + i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rcw, LANES), lambda c, i: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, LANES), lambda c, i: (c * bpc + i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rpad, LANES), x.dtype),
+        interpret=interpret,
+    )(vals2d, xwins)
+    return y.reshape(-1)[:n]

@@ -35,6 +35,8 @@ def _numpy_reference_loop(mesh, dbc, E, nu, dens, dt, nsteps, pulse_t):
     free = dofmap.free_mask_full()
     u_n = np.zeros(n_full)     # u^n   ("dispPrev" after the Fortran rotation)
     u_nm1 = np.zeros(n_full)   # u^{n-1} ("dispPrev2")
+    probe = (2, 3)
+    probe_hist = []
     dtt = dt * dt
     for k in range(nsteps):
         t = k * dt
@@ -49,8 +51,10 @@ def _numpy_reference_loop(mesh, dbc, E, nu, dens, dt, nsteps, pulse_t):
                 rhs[end[e, i]] += Fe[e, i]
         rhs = rhs + M * (2 * u_n - u_nm1) / dtt
         u_np1 = np.where(free & (M > 0), dtt * rhs / np.where(M > 0, M, 1), 0.0)
+        probe_hist.append(np.concatenate(
+            [u_np1[list(probe)], (u_np1 - u_nm1)[list(probe)] / (2 * dt)]))
         u_nm1, u_n = u_n, u_np1
-    return u_n
+    return u_n, np.asarray(probe_hist)
 
 
 def test_explicit_matches_numpy_reference():
@@ -65,10 +69,11 @@ def test_explicit_matches_numpy_reference():
             [jnp.where(t <= 0.1, 1.0, 0.0), jnp.zeros(())]),
         probe_dofs=(2, 3),
     )
-    ref = _numpy_reference_loop(mesh, dbc, E, nu, dens, dt, nsteps, 0.1)
+    ref, ref_hist = _numpy_reference_loop(mesh, dbc, E, nu, dens, dt,
+                                          nsteps, 0.1)
     assert np.allclose(res.disp, ref, rtol=1e-9, atol=1e-12)
     assert res.probe_history.shape == (nsteps, 4)
-    assert np.isfinite(res.probe_history).all()
+    assert np.allclose(res.probe_history, ref_hist, rtol=1e-9, atol=1e-12)
 
 
 def test_explicit_bc_dofs_stay_zero():
@@ -84,44 +89,52 @@ def test_explicit_bc_dofs_stay_zero():
     assert np.abs(u).max() > 0
 
 
-def test_explicit_quad_hourglass_runs():
+def test_explicit_quad_hourglass_matches_oracle():
+    """Full HG quad loop vs the independent numpy oracle element
+    (tests/test_explicit_oracles.py:oracle_quad_hg) with the same
+    velocity-carrying central-difference update."""
+    from tests.test_explicit_oracles import oracle_quad_hg
+
     mesh = generate.rect_quad(0, 1, 4, 0, 1, 2)
     left = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
     dbc = np.array([[n, d, 0.0] for n in left for d in (0, 1)])
+    E, nu, dens, dt, nsteps, thick = 1e9, 0.0, 1000.0, 1e-5, 30, 0.025
+    fbc = np.array([[mesh.n_node - 1, 1, 5.0]])
     res = explicit_dynamics(
-        mesh, dbc, 1e9, 0.0, 1000.0, 1e-5, 30,
+        mesh, dbc, E, nu, dens, dt, nsteps,
         bforce_fn=lambda t: jnp.asarray([0.0, 0.0]),
-        force_bc=np.array([[mesh.n_node - 1, 1, 5.0]]),
-        thickness=0.025,
-        use_hourglass=True,
+        force_bc=fbc, thickness=thick, use_hourglass=True,
     )
-    assert np.isfinite(res.disp).all()
-    assert np.abs(res.disp).max() > 0
+
+    # independent loop
+    dofmap = build_dofmap(mesh, 2, dbc)
+    n_full = mesh.n_node * 2
+    ce = mesh.elem_coords()
+    end = dofmap.elem_nodedof
+    from tests.test_explicit_oracles import oracle_lumped_mass
+    M = np.zeros(n_full)
+    for e in range(mesh.n_elem):
+        np.add.at(M, end[e], oracle_lumped_mass("quad4", ce[e], dens, 2, 4))
+    fext = np.zeros(n_full)
+    fext[(mesh.n_node - 1) * 2 + 1] = 5.0
+    free = dofmap.free_mask_full()
+    u_n = np.zeros(n_full); u_nm1 = np.zeros(n_full); v_n = np.zeros(n_full)
+    dtt = dt * dt
+    for k in range(nsteps):
+        rhs = fext.copy()
+        for e in range(mesh.n_elem):
+            Fe = oracle_quad_hg(ce[e], u_n[end[e]], v_n[end[e]],
+                                E, nu, dens, np.zeros(2), thick)
+            np.add.at(rhs, end[e], Fe)
+        rhs += M * (2 * u_n - u_nm1) / dtt
+        u_np1 = np.where(free & (M > 0), dtt * rhs / np.where(M > 0, M, 1),
+                         0.0)
+        v_n = (u_np1 - u_nm1) / (2 * dt)
+        u_nm1, u_n = u_n, u_np1
+    assert np.abs(u_n).max() > 0
+    np.testing.assert_allclose(res.disp, u_n, rtol=1e-7, atol=1e-14)
 
 
-def test_explicit_prism_and_tetra_run():
-    for gen, etype in [(generate.box_prism, "prism6")]:
-        mesh = gen(0, 1, 2, 0, 1, 2, 0, 1, 2)
-        base = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
-        dbc = np.array([[n, d, 0.0] for n in base for d in (0, 1, 2)])
-        res = explicit_dynamics(
-            mesh, dbc, 2.1e7, 0.1, 7.6, 2e-5, 20,
-            bforce_fn=lambda t: jnp.asarray([100.0, 0.0, 0.0]))
-        assert np.isfinite(res.disp).all()
-    mesh, dbc_all = generate.box_tet(0, 1, 2, 0, 1, 2, 0, 1, 2)
-    base = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
-    dbc = np.array([[n, d, 0.0] for n in base for d in (0, 1, 2)])
-    res = explicit_dynamics(
-        mesh, dbc, 200.0, 0.3, 10.0, 1e-4, 20,
-        bforce_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0]))
-    assert np.isfinite(res.disp).all()
-
-
-def test_explicit_tria6_runs():
-    mesh = generate.rect_tria6(0, 1, 2, 0, 1, 2)
-    left = np.nonzero(np.isclose(mesh.coords[:, 0], 0))[0]
-    dbc = np.array([[n, d, 0.0] for n in left for d in (0, 1)])
-    res = explicit_dynamics(
-        mesh, dbc, 1.7e7, 0.3, 1100.0, 1e-6, 20,
-        bforce_fn=lambda t: jnp.asarray([3.0, 0.0]))
-    assert np.isfinite(res.disp).all()
+# prism6 / tetra4 / tria6 full-loop value checks live in
+# tests/test_explicit_oracles.py (test_explicit_loop_matches_oracle),
+# against fully independent per-element numpy oracles.

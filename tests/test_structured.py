@@ -159,3 +159,55 @@ def test_structured_2d_full_solve():
     ref = solve_poisson(mesh, dbc, rtol=1e-12)
     res = solve_poisson(mesh, dbc, rtol=1e-12, bc_mode="full")
     assert np.allclose(res.u_full, ref.u_full, atol=1e-9)
+
+
+def test_reduce_structured_system_matches_general_path():
+    """FULL structured assembly + slice reduction == reduced general-path
+    assembly (matrix and rhs), on the flagship box-tet problem."""
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.assembly.assemble import (
+        assemble_matrix, assemble_rhs, dirichlet_rhs_correction)
+    from pfemfort_tpu.assembly.pattern import build_pattern
+    from pfemfort_tpu.assembly.structured import (
+        assemble_dia_structured, assemble_rhs_structured,
+        build_structured_plan, reduce_structured_system)
+    from pfemfort_tpu.dofs.dofmap import (
+        build_dofmap, full_lattice, reduced_box, reduced_lattice)
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    from pfemfort_tpu.elements.poisson import poisson_element_matrices
+    from pfemfort_tpu.mesh import generate
+
+    n = 6
+    mesh, dbc = generate.box_tet(0, 1, n, 0, 1, n, 0, 1, n)
+    dofmap = build_dofmap(mesh, 1, dbc)
+    coords_e = jnp.asarray(to_element_minor(mesh.elem_coords()))
+    Ke, Fe = poisson_element_matrices(coords_e, "tetra4", source=-6.0)
+
+    # general (scatter) reduced assembly — the oracle
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof,
+                            lattice=reduced_lattice(mesh, dofmap))
+    ubc_e = jnp.asarray(dofmap.bc_values_full[dofmap.elem_nodedof].T)
+    A_ref = assemble_matrix(Ke, pattern)
+    b_ref = assemble_rhs(Fe + dirichlet_rhs_correction(Ke, ubc_e), pattern)
+
+    # structured full assembly + slice reduction
+    plan = build_structured_plan(n, n, n)
+    A_full = assemble_dia_structured(Ke, plan)
+    b_full = assemble_rhs_structured(Fe, plan)
+    A_red, b_red = reduce_structured_system(
+        A_full, b_full, reduced_box(mesh, dofmap), full_lattice(mesh),
+        jnp.asarray(dofmap.bc_values_full))
+
+    assert A_red.n_rows == A_ref.n_rows
+    # compare as dense maps applied to probes (offset sets may differ by
+    # zero-only diagonals)
+    rng = np.random.default_rng(0)
+    from pfemfort_tpu.sparse.dia import spmv_dia
+    for _ in range(3):
+        x = jnp.asarray(rng.standard_normal(A_ref.n_rows))
+        np.testing.assert_allclose(np.asarray(spmv_dia(A_red, x)),
+                                   np.asarray(spmv_dia(A_ref, x)),
+                                   atol=1e-11)
+    np.testing.assert_allclose(np.asarray(b_red), np.asarray(b_ref),
+                               atol=1e-11)
