@@ -92,7 +92,9 @@ def cmd_poisson(args):
             n_shards=args.shards, rtol=args.rtol)
     else:
         res = solve_poisson(mesh, dbc, rtol=args.rtol, method=args.ksp,
-                            source=args.source)
+                            source=args.source, bc_mode=args.bc_mode,
+                            precond=args.precond, refine=args.refine,
+                            matrix_free=args.matrix_free)
     _report(mesh, 1, res, t0)
     _write_output(args, mesh, 1, res.u_full)
     return 0 if res.stats.converged else 1
@@ -104,9 +106,28 @@ def cmd_elasticity(args):
     _solver_opts(args)
     mesh, dbc, fbc = _read(args, with_force=True)
     t0 = time.perf_counter()
-    res = solve_elasticity(
-        mesh, dbc, args.E, args.nu, force_bc=fbc,
-        bforce=None, plane=args.plane, rtol=args.rtol, method=args.ksp)
+    if args.shards and args.shards > 1:
+        from pfemfort_tpu.drivers.sharded import solve_implicit_sharded
+        from pfemfort_tpu.elements.elasticity import (
+            dmat_3d, dmat_plane_strain, dmat_plane_stress,
+            elasticity_stiffness)
+
+        if mesh.ndim == 2:
+            D = dmat_plane_stress(args.E, args.nu) \
+                if args.plane == "stress" else \
+                dmat_plane_strain(args.E, args.nu)
+        else:
+            D = dmat_3d(args.E, args.nu)
+        res = solve_implicit_sharded(
+            mesh, mesh.ndim, dbc,
+            lambda c: elasticity_stiffness(c, mesh.etype, D),
+            n_shards=args.shards, force_bc=fbc, rtol=args.rtol,
+            precond=args.precond)
+    else:
+        res = solve_elasticity(
+            mesh, dbc, args.E, args.nu, force_bc=fbc,
+            bforce=None, plane=args.plane, rtol=args.rtol,
+            method=args.ksp, refine=args.refine)
     _report(mesh, mesh.ndim, res, t0)
     _write_output(args, mesh, mesh.ndim, res.u_full)
     return 0 if res.stats.converged else 1
@@ -266,11 +287,24 @@ def build_parser():
     sp = sub.add_parser("poisson", help="implicit Poisson (2D/3D)")
     add_files(sp)
     sp.add_argument("--rtol", type=float, default=1e-8)
-    sp.add_argument("--ksp", choices=["cg", "bicgstab"], default="cg")
+    sp.add_argument("--ksp", choices=["cg", "bicgstab", "gmres"],
+                    default="cg")
     sp.add_argument("--source", type=float, default=None,
                     help="volume source (default: 0 in 2D, -6 for tetra)")
     sp.add_argument("--shards", type=int, default=0,
                     help="shard the solve over N devices (0 = single)")
+    sp.add_argument("--bc-mode", choices=["reduced", "full"],
+                    default="reduced",
+                    help="reduced = BC-eliminated system (impl1/2); "
+                         "full = MatZeroRows identity rows (impl3)")
+    sp.add_argument("--precond", choices=["jacobi", "mg"], default="jacobi",
+                    help="mg = geometric multigrid (structured meshes, "
+                         "bc-mode=full)")
+    sp.add_argument("--refine", action="store_true",
+                    help="double-float refinement to TRUE f64 rtol")
+    sp.add_argument("--matrix-free", action="store_true",
+                    help="assembly-free operator (recomputes element "
+                         "contributions per SpMV)")
     sp.set_defaults(fn=cmd_poisson)
 
     sp = sub.add_parser("elasticity", help="implicit linear elasticity")
@@ -280,7 +314,16 @@ def build_parser():
     sp.add_argument("--plane", choices=["stress", "strain"],
                     default="stress")
     sp.add_argument("--rtol", type=float, default=1e-8)
-    sp.add_argument("--ksp", choices=["cg", "bicgstab"], default="cg")
+    sp.add_argument("--ksp", choices=["cg", "bicgstab", "gmres"],
+                    default="cg")
+    sp.add_argument("--shards", type=int, default=0,
+                    help="shard the solve over N devices (0 = single)")
+    sp.add_argument("--precond", choices=["jacobi", "bjacobi"],
+                    default="bjacobi",
+                    help="sharded-solve preconditioner (bjacobi = per-node "
+                         "blocks, the reference default; solverpetsc.F:206)")
+    sp.add_argument("--refine", action="store_true",
+                    help="double-float refinement to TRUE f64 rtol")
     sp.set_defaults(fn=cmd_elasticity)
 
     sp = sub.add_parser("explicit", help="explicit central-difference dynamics")

@@ -154,7 +154,9 @@ def solve_implicit(
 
     if maxiter is None:
         maxiter = max(10 * dofmap.total_dof, 1000)
-    solver = cg_solve if method == "cg" else bicgstab_solve
+    from pfemfort_tpu.solve.gmres import gmres_solve
+    solver = {"cg": cg_solve, "bicgstab": bicgstab_solve,
+              "gmres": gmres_solve}[method]
 
     @jax.jit
     def assemble_and_solve(coords_em, fvec):

@@ -23,6 +23,7 @@ def gmres_solve(
     x0: Optional[jnp.ndarray] = None,
     precond: Optional[Callable] = None,
     rtol: float = 1e-8,
+    atol: float = 0.0,
     restart: int = 30,
     maxiter: int = 1000,
     dot: Callable = _default_dot,
@@ -38,7 +39,7 @@ def gmres_solve(
 
     Mb = precond(b)
     bnorm = jnp.sqrt(dot(Mb, Mb))
-    tol = jnp.maximum(rtol * bnorm, 0.0)
+    tol = jnp.maximum(rtol * bnorm, atol)
 
     def arnoldi_cycle(x):
         r = precond(b - operator(x))

@@ -112,3 +112,45 @@ def test_cli_explicit_vtk_series(tmp_path, capsys):
     assert rc == 0
     assert os.path.exists(str(tmp_path / "soln-00005.vtk"))
     assert os.path.exists(str(tmp_path / "soln-00010.vtk"))
+
+
+def test_cli_poisson_solver_matrix(tet_prefix, capsys):
+    """The full solver-option matrix the reference switches via its PETSc
+    options file: gmres, MatZeroRows full mode + multigrid, refinement."""
+    files = [tet_prefix + "-nodes.dat", tet_prefix + "-elems.dat",
+             tet_prefix + "-DirichBC.dat"]
+    for extra in (["--ksp", "gmres"],
+                  ["--bc-mode", "full", "--precond", "mg"],
+                  ["--refine"],
+                  ["--matrix-free"]):
+        rc = main(["poisson", *files, *extra])
+        assert rc == 0, extra
+        assert "Convergence in" in capsys.readouterr().out
+
+
+def test_cli_elasticity_sharded(tmp_path, capsys):
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    rc = main(["genmesh", "tet", "0", "1", "3", "0", "1", "3",
+               "0", "1", "16", "-o", str(tmp_path / "bar")])
+    assert rc == 0
+    # clamp the base, pull the tip
+    from pfemfort_tpu.mesh import io as mesh_io
+    mesh = mesh_io.read_mesh(str(tmp_path / "bar-nodes.dat"),
+                             str(tmp_path / "bar-elems.dat"))
+    base = np.nonzero(np.isclose(mesh.coords[:, 2], 0))[0]
+    rows = [[n + 1, d + 1, 0.0] for n in base for d in range(3)]
+    np.savetxt(str(tmp_path / "bar-DirichBC.dat"), np.asarray(rows))
+    tip = int(np.argmax(mesh.coords[:, 2]))
+    np.savetxt(str(tmp_path / "bar-ForceBC.dat"),
+               np.asarray([[tip + 1, 1, 1.0]]))
+    rc = main(["elasticity",
+               str(tmp_path / "bar-nodes.dat"),
+               str(tmp_path / "bar-elems.dat"),
+               str(tmp_path / "bar-DirichBC.dat"),
+               str(tmp_path / "bar-ForceBC.dat"),
+               "--shards", "4", "--precond", "bjacobi", "--rtol", "1e-9"])
+    assert rc == 0
+    assert "Convergence in" in capsys.readouterr().out
