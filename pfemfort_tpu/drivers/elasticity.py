@@ -33,6 +33,7 @@ def solve_elasticity(
     method: str = "cg",
     refine: bool = False,
     bc_mode: str = "reduced",
+    precond: str = "jacobi",
 ) -> ImplicitResult:
     """Static linear elasticity K u = F with Dirichlet + nodal Force BCs.
 
@@ -59,7 +60,8 @@ def solve_elasticity(
         from pfemfort_tpu.drivers.common import solve_implicit_fullsystem
         return solve_implicit_fullsystem(
             mesh, ndim, dirichlet, element_fn, force_bc=force_bc,
-            dtype=dtype, rtol=rtol, maxiter=maxiter, method=method)
+            dtype=dtype, rtol=rtol, maxiter=maxiter, method=method,
+            precond=precond)
     return solve_implicit(
         mesh, ndim, dirichlet, element_fn, force_bc=force_bc,
         dtype=dtype, rtol=rtol, maxiter=maxiter, method=method,
