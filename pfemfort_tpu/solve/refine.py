@@ -101,9 +101,16 @@ def cg_with_refinement_df(
         DF, df_add, df_from_f64, df_mul_f32, df_norm2_f32, df_to_f64,
         spmv_dia_df)
 
-    vals_df = df_from_f64(np.asarray(vals64, dtype=np.float64))
-    b_df = df_from_f64(np.asarray(b64, dtype=np.float64))
-    bnorm = float(np.linalg.norm(np.asarray(b64, dtype=np.float64)))
+    # accept pre-split device-resident DF pairs (saves the host->device
+    # transfer on repeated solves)
+    vals_df = vals64 if isinstance(vals64, DF) else df_from_f64(
+        np.asarray(vals64, dtype=np.float64))
+    if isinstance(b64, DF):
+        b_df = b64
+        bnorm = float(df_norm2_f32(b_df))
+    else:
+        b_df = df_from_f64(np.asarray(b64, dtype=np.float64))
+        bnorm = float(np.linalg.norm(np.asarray(b64, dtype=np.float64)))
     if bnorm == 0.0:
         return np.zeros_like(np.asarray(b64)), RefineStats(0, 0, 0.0, True)
     if op32 is None:
