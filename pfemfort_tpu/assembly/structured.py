@@ -266,3 +266,62 @@ def reduce_structured_system(A_full: DIAMatrix, b_full: jnp.ndarray,
         n_rows=n_red,
         lattice=red_shape)
     return A_red, b_red.reshape(-1)
+
+
+def assemble_structured_chunked(element_fn, coords_em, plan: StructuredPlan,
+                                n_chunks: int):
+    """Memory-bounded structured assembly: elements processed in z-slab
+    chunks inside ONE lax.fori_loop (matrix + rhs together).
+
+    At 48M elements the one-shot path needs Ke (ns^2 E) + geometry temps
+    (~18 GB) simultaneously; chunking caps the live element window at
+    E/n_chunks while the (D, lattice) accumulator stays put.  Each chunk is
+    a contiguous element range (hex index is z-major in the generator,
+    mesh/generate.py), added with dynamic-update-slices at the traced
+    z-offset — compile cost stays that of a single chunk.
+
+    element_fn must be shape-polymorphic in E (all our kernels are).
+    Requires nez % n_chunks == 0.
+    """
+    import jax
+
+    nex, ney, nez = plan.nex, plan.ney, plan.nez
+    nnx, nny, nnz_ = nex + 1, ney + 1, nez + 1
+    ndof = plan.ndof
+    ns = 4 * ndof
+    D = len(plan.offsets)
+    assert nez % n_chunks == 0, (nez, n_chunks)
+    cnz = nez // n_chunks
+    epc = cnz * ney * nex * 6          # elements per chunk
+    dtype = coords_em.dtype
+
+    def body(k, carry):
+        vals, rhs = carry
+        z0 = k * cnz
+        ce = jax.lax.dynamic_slice_in_dim(coords_em, k * epc, epc, axis=2)
+        Ke, Fe = element_fn(ce)
+        Kc = Ke.reshape(ns, ns, cnz, ney, nex, 6)
+        Fc = Fe.reshape(ns, cnz, ney, nex, 6)
+        for (c, nr, nc, d, rz, ry, rx, ci) in plan.entries:
+            blk = Kc[nr, nc, :, :, :, c]
+            cur = jax.lax.dynamic_slice(
+                vals, (d, rz + z0, ry, rx, ci), (1, cnz, ney, nex, 1))
+            vals = jax.lax.dynamic_update_slice(
+                vals, cur + blk[None, :, :, :, None],
+                (d, rz + z0, ry, rx, ci))
+        for (c, nr, rz, ry, rx, ci) in plan.rhs_entries:
+            blk = Fc[nr, :, :, :, c]
+            cur = jax.lax.dynamic_slice(
+                rhs, (rz + z0, ry, rx, ci), (cnz, ney, nex, 1))
+            rhs = jax.lax.dynamic_update_slice(
+                rhs, cur + blk[:, :, :, None], (rz + z0, ry, rx, ci))
+        return vals, rhs
+
+    vals0 = jnp.zeros((D, nnz_, nny, nnx, ndof), dtype=dtype)
+    rhs0 = jnp.zeros((nnz_, nny, nnx, ndof), dtype=dtype)
+    vals, rhs = jax.lax.fori_loop(0, n_chunks, body, (vals0, rhs0))
+    n = nnx * nny * nnz_ * ndof
+    lattice = (nnz_, nny, nnx) if ndof == 1 else None
+    A = DIAMatrix(vals=vals.reshape(D, n), offsets=plan.offsets, n_rows=n,
+                  lattice=lattice)
+    return A, rhs.reshape(-1)

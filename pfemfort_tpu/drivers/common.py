@@ -74,10 +74,27 @@ def build_reduced_assembler(mesh, ndof, dofmap, element_fn, dtype):
         shape = full_lattice(mesh)
         bc_vals_full = jnp.asarray(dofmap.bc_values_full, dtype=dtype)
 
+        # Above ~12M elements the one-shot Ke + geometry temps exceed a
+        # chip's HBM (measured: 21 GB at 48M elements on 16 GB v5e) —
+        # switch to the z-slab-chunked fori_loop assembler.
+        n_chunks = 1
+        if kind == "box_tet" and mesh.n_elem > 12_000_000:
+            nez = mesh.structure["nez"]
+            per = mesh.n_elem // nez          # elements per z-layer
+            want = -(-mesh.n_elem // 6_000_000)
+            for cand in range(want, nez + 1):
+                if nez % cand == 0:
+                    n_chunks = cand
+                    break
+
         def assemble(coords_em):
-            Ke, Fe_src = element_fn(coords_em)
-            A_full = asm_mat(Ke, plan)
-            b_full = asm_rhs(Fe_src, plan)
+            if n_chunks > 1:
+                A_full, b_full = st.assemble_structured_chunked(
+                    element_fn, coords_em, plan, n_chunks)
+            else:
+                Ke, Fe_src = element_fn(coords_em)
+                A_full = asm_mat(Ke, plan)
+                b_full = asm_rhs(Fe_src, plan)
             return st.reduce_structured_system(
                 A_full, b_full, red_box, shape, bc_vals_full)
 

@@ -211,3 +211,33 @@ def test_reduce_structured_system_matches_general_path():
                                    atol=1e-11)
     np.testing.assert_allclose(np.asarray(b_red), np.asarray(b_ref),
                                atol=1e-11)
+
+
+def test_chunked_structured_assembly_matches_oneshot():
+    """z-slab-chunked fori_loop assembler == one-shot slice-add assembler."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.assembly.structured import (
+        assemble_dia_structured, assemble_rhs_structured,
+        assemble_structured_chunked, build_structured_plan)
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    from pfemfort_tpu.elements.poisson import poisson_element_matrices
+    from pfemfort_tpu.mesh import generate
+
+    n = 6
+    mesh, _ = generate.box_tet(0, 1, n, 0, 1, n, 0, 1, n)
+    coords = jnp.asarray(to_element_minor(mesh.elem_coords()))
+    plan = build_structured_plan(n, n, n)
+    efn = lambda c: poisson_element_matrices(c, "tetra4", source=-6.0)
+    Ke, Fe = efn(coords)
+    A0 = assemble_dia_structured(Ke, plan)
+    b0 = assemble_rhs_structured(Fe, plan)
+    for nc in (2, 3, 6):
+        A1, b1 = jax.jit(
+            lambda c, nc=nc: assemble_structured_chunked(efn, c, plan, nc)
+        )(coords)
+        np.testing.assert_allclose(np.asarray(A1.vals), np.asarray(A0.vals),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b0),
+                                   atol=1e-13)
