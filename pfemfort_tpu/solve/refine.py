@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pfemfort_tpu.solve.cg import SolveStats, cg_solve
+from functools import lru_cache
+
+from pfemfort_tpu.solve.cg import SolveStats, cg_solve, jacobi_preconditioner
 
 
 class RefineStats(NamedTuple):
@@ -113,27 +115,23 @@ def cg_with_refinement_df(
         bnorm = float(np.linalg.norm(np.asarray(b64, dtype=np.float64)))
     if bnorm == 0.0:
         return np.zeros_like(np.asarray(b64)), RefineStats(0, 0, 0.0, True)
+    offsets = tuple(int(o) for o in offsets)
+    n = int(b_df.hi.shape[0])
+
+    # Big arrays (vals hi/lo, b hi/lo) are explicit jit ARGUMENTS of cached
+    # jits, never closure captures: captured device arrays embed as HLO
+    # constants, and shipping ~100MB of constants through the remote-compile
+    # tunnel costs tens of seconds PER CALL.
     if op32 is None:
-        from pfemfort_tpu.sparse.dia import DIAMatrix, spmv_dia
-        A32 = DIAMatrix(vals=vals_df.hi, offsets=tuple(offsets),
-                        n_rows=int(b_df.hi.shape[0]))
-        op32 = lambda x: spmv_dia(A32, x)
-
-    inner = jax.jit(lambda r32: cg_solve(
-        op32, r32, precond=precond32, rtol=inner_rtol,
-        maxiter=inner_maxiter))
-
-    @jax.jit
-    def resid_df(x_hi, x_lo):
-        ax = spmv_dia_df(tuple(offsets), vals_df, DF(x_hi, x_lo))
-        r = df_add(b_df, DF(-ax.hi, -ax.lo))
-        return r.hi, r.lo, df_norm2_f32(r)
-
-    @jax.jit
-    def update(x_hi, x_lo, d32, scale):
-        x = df_add(DF(x_hi, x_lo), df_mul_f32(DF(d32, jnp.zeros_like(d32)),
-                                              scale))
-        return x.hi, x.lo
+        inner, resid_df, update = _df_jits(offsets, n, inner_rtol,
+                                           inner_maxiter)
+    else:
+        inner_c = jax.jit(lambda r32: cg_solve(
+            op32, r32, precond=precond32, rtol=inner_rtol,
+            maxiter=inner_maxiter))
+        inner = lambda vhi, r_hi, scale: inner_c(r_hi / scale)
+        _, resid_df, update = _df_jits(offsets, n, inner_rtol,
+                                       inner_maxiter)
 
     z = jnp.zeros_like(b_df.hi)
     x_hi, x_lo = z, z
@@ -143,14 +141,52 @@ def cg_with_refinement_df(
     for outer in range(max_outer):
         relres = float(rnorm) / bnorm
         if relres <= rtol:
-            return df_to_f64(DF(x_hi, x_lo)), RefineStats(
+            return _df_to_host(x_hi, x_lo), RefineStats(
                 outer, total_inner, relres, True)
         scale = float(jnp.max(jnp.abs(r_hi)))
         scale = scale if scale > 0 else 1.0
-        d32, st = inner(r_hi / jnp.float32(scale))
+        d32, st = inner(vals_df.hi, r_hi, jnp.float32(scale))
         total_inner += int(np.asarray(st.iters))
         x_hi, x_lo = update(x_hi, x_lo, d32, jnp.float32(scale))
-        r_hi, r_lo, rnorm = resid_df(x_hi, x_lo)
+        r_hi, r_lo, rnorm = resid_df(vals_df.hi, vals_df.lo,
+                                     b_df.hi, b_df.lo, x_hi, x_lo)
     relres = float(rnorm) / bnorm
-    return df_to_f64(DF(x_hi, x_lo)), RefineStats(
+    return _df_to_host(x_hi, x_lo), RefineStats(
         max_outer, total_inner, relres, relres <= rtol)
+
+
+def _df_to_host(x_hi, x_lo):
+    from pfemfort_tpu.solve.doublefloat import DF, df_to_f64
+    return df_to_f64(DF(x_hi, x_lo))
+
+
+@lru_cache(maxsize=32)
+def _df_jits(offsets, n, inner_rtol, inner_maxiter):
+    """Cached array-argument jits for the double-float refinement: one trace
+    per system shape, zero captured arrays."""
+    from pfemfort_tpu.solve.doublefloat import (
+        DF, df_add, df_mul_f32, df_norm2_f32, spmv_dia_df)
+    from pfemfort_tpu.sparse.dia import DIAMatrix
+    from pfemfort_tpu.sparse.ops import operator_and_diag
+
+    @jax.jit
+    def inner(vals_hi, r_hi, scale):
+        A32 = DIAMatrix(vals=vals_hi, offsets=offsets, n_rows=n)
+        op, diag = operator_and_diag(A32)
+        return cg_solve(op, r_hi / scale,
+                        precond=jacobi_preconditioner(diag),
+                        rtol=inner_rtol, maxiter=inner_maxiter)
+
+    @jax.jit
+    def resid_df(vhi, vlo, bhi, blo, x_hi, x_lo):
+        ax = spmv_dia_df(offsets, DF(vhi, vlo), DF(x_hi, x_lo))
+        r = df_add(DF(bhi, blo), DF(-ax.hi, -ax.lo))
+        return r.hi, r.lo, df_norm2_f32(r)
+
+    @jax.jit
+    def update(x_hi, x_lo, d32, scale):
+        x = df_add(DF(x_hi, x_lo),
+                   df_mul_f32(DF(d32, jnp.zeros_like(d32)), scale))
+        return x.hi, x.lo
+
+    return inner, resid_df, update
