@@ -161,19 +161,19 @@ def flagship(n: int, detail: dict):
     # --- SpMV throughput: XLA stencil and Pallas kernel ---
     x = jnp.ones((N,), dtype=dtype)
 
-    def bench_spmv(op, label, iters=400):
+    def bench_spmv(op, vals_arg, label, iters=400):
         @jax.jit
         def chain(vals, x):
             def body(i, x):
                 return op(vals, x) * 0.999
             return jax.lax.fori_loop(0, iters, body, x)
         t0 = time.perf_counter()
-        _sync(chain(A.vals, x))
+        _sync(chain(vals_arg, x))
         _log(f"{label} compile {time.perf_counter()-t0:.1f}s")
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _sync(chain(A.vals, x))
+            _sync(chain(vals_arg, x))
             best = min(best, (time.perf_counter() - t0 - rt) / iters)
         gbps = spmv_bytes / best / 1e9
         _log(f"{label}: {best*1e6:.0f}us, {gbps:.0f} GB/s "
@@ -183,13 +183,21 @@ def flagship(n: int, detail: dict):
 
     from pfemfort_tpu.sparse.dia import spmv_dia
     t_x, gb_x = bench_spmv(lambda v, x: spmv_dia(A._replace(vals=v), x),
-                           "xla spmv")
+                           A.vals, "xla spmv")
     t_p, gb_p = float("inf"), 0.0
     try:
-        from pfemfort_tpu.sparse.pallas_spmv import spmv_dia_pallas
+        import dataclasses as _dc
+
+        from pfemfort_tpu.sparse.pallas_spmv import (
+            apply_dia_pallas, prepare_dia_pallas)
+        # prepare (pad+reshape) once — the amortized per-iteration cost CG
+        # pays; the pad inside the loop was measured to cost ~6x bandwidth
+        Pp = prepare_dia_pallas(A)
+        _sync(Pp.vals2d)
         t_p, gb_p = bench_spmv(
-            lambda v, x: spmv_dia_pallas(A._replace(vals=v), x),
-            "pallas spmv")
+            lambda v2d, x: apply_dia_pallas(
+                _dc.replace(Pp, vals2d=v2d), x),
+            Pp.vals2d, "pallas spmv")
     except Exception as ex:
         _log(f"pallas spmv unavailable: {type(ex).__name__}: "
              f"{str(ex)[:160]}")

@@ -30,7 +30,11 @@ def operator_and_diag(A: Matrix) -> Tuple[Callable, jnp.ndarray]:
     """(x -> A x, diag(A)) for either sparse format."""
     if isinstance(A, DIAMatrix):
         if _use_pallas(A):
-            from pfemfort_tpu.sparse.pallas_spmv import spmv_dia_pallas
-            return (lambda x: spmv_dia_pallas(A, x)), dia_diagonal(A)
+            from pfemfort_tpu.sparse.pallas_spmv import (
+                apply_dia_pallas, prepare_dia_pallas)
+            # pad/reshape the value stream ONCE here — inside the closure it
+            # would re-run every CG iteration (a full D*N HBM copy per SpMV)
+            P = prepare_dia_pallas(A)
+            return (lambda x: apply_dia_pallas(P, x)), dia_diagonal(A)
         return (lambda x: spmv_dia(A, x)), dia_diagonal(A)
     return (lambda x: spmv_ell(A, x)), extract_diagonal(A)
