@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pfemfort_tpu.mesh.core import Mesh
-from pfemfort_tpu.sparse.dia import DIAMatrix, dia_diagonal, spmv_dia
+from pfemfort_tpu.sparse.dia import DIAMatrix, dia_diagonal
 
 
 # ---------------------------------------------------------------------------
@@ -269,38 +269,46 @@ def build_gmg(
 # ---------------------------------------------------------------------------
 
 def _vcycle(arrays: GMGArrays, meta: GMGMeta, level: int,
-            r: jnp.ndarray) -> jnp.ndarray:
+            r: jnp.ndarray, ops) -> jnp.ndarray:
     """One V(nu, nu) cycle on level `level`; assumes r == 0 on BC entries."""
     last = len(arrays.mats) - 1
     if level == last:
         return arrays.coarse_inv @ r
 
-    A = arrays.mats[level]
+    spmv = ops[level]
     Dinv = arrays.inv_diags[level]
     m = arrays.masks[level]
     om = meta.omega
 
     e = om * Dinv * r
     for _ in range(meta.nu - 1):
-        e = e + om * Dinv * (r - spmv_dia(A, e))
+        e = e + om * Dinv * (r - spmv(e))
 
     rc = arrays.masks[level + 1] * restrict(
-        m * (r - spmv_dia(A, e)), meta.shapes[level], meta.ndof)
-    ec = _vcycle(arrays, meta, level + 1, rc)
+        m * (r - spmv(e)), meta.shapes[level], meta.ndof)
+    ec = _vcycle(arrays, meta, level + 1, rc, ops)
     e = e + m * prolong(ec, meta.shapes[level + 1], meta.ndof)
 
     for _ in range(meta.nu):
-        e = e + om * Dinv * (r - spmv_dia(A, e))
+        e = e + om * Dinv * (r - spmv(e))
     return e
 
 
 def gmg_preconditioner(arrays: GMGArrays, meta: GMGMeta) -> Callable:
     """r -> M^{-1} r: one symmetric V-cycle on the free subspace, identity
-    on Dirichlet entries (matching the full-system identity BC rows)."""
+    on Dirichlet entries (matching the full-system identity BC rows).
+
+    Level SpMV operators are built HERE — i.e. once per solve trace, outside
+    the CG loop — so the Pallas path's value-stream preparation is not
+    re-executed every preconditioner application (sparse/ops.py:dia_operator).
+    """
+    from pfemfort_tpu.sparse.ops import dia_operator
+
     fine_mask = arrays.masks[0]
+    ops = tuple(dia_operator(A) for A in arrays.mats)
 
     def precond(r):
-        z = _vcycle(arrays, meta, 0, fine_mask * r)
+        z = _vcycle(arrays, meta, 0, fine_mask * r, ops)
         # identity on BC components (they are zero throughout full-system
         # CG started from x0 = bc values, but keep exactness anyway)
         return jnp.where(fine_mask > 0, z, r)

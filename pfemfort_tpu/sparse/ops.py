@@ -26,15 +26,22 @@ def _use_pallas(A: DIAMatrix) -> bool:
     return A.vals.dtype == jnp.float32 and A.n_rows >= 1 << 14
 
 
+def dia_operator(A: DIAMatrix) -> Callable:
+    """x -> A x with the fastest available backend-specific kernel.
+
+    Call this OUTSIDE any iteration loop: on TPU it pre-pads the value
+    stream for the Pallas kernel once (a full D*N HBM copy that must not
+    re-run per SpMV)."""
+    if _use_pallas(A):
+        from pfemfort_tpu.sparse.pallas_spmv import (
+            apply_dia_pallas, prepare_dia_pallas)
+        P = prepare_dia_pallas(A)
+        return lambda x: apply_dia_pallas(P, x)
+    return lambda x: spmv_dia(A, x)
+
+
 def operator_and_diag(A: Matrix) -> Tuple[Callable, jnp.ndarray]:
     """(x -> A x, diag(A)) for either sparse format."""
     if isinstance(A, DIAMatrix):
-        if _use_pallas(A):
-            from pfemfort_tpu.sparse.pallas_spmv import (
-                apply_dia_pallas, prepare_dia_pallas)
-            # pad/reshape the value stream ONCE here — inside the closure it
-            # would re-run every CG iteration (a full D*N HBM copy per SpMV)
-            P = prepare_dia_pallas(A)
-            return (lambda x: apply_dia_pallas(P, x)), dia_diagonal(A)
-        return (lambda x: spmv_dia(A, x)), dia_diagonal(A)
+        return dia_operator(A), dia_diagonal(A)
     return (lambda x: spmv_ell(A, x)), extract_diagonal(A)
