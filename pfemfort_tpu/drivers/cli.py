@@ -89,7 +89,7 @@ def cmd_poisson(args):
         res = solve_implicit_sharded(
             mesh, 1, dbc,
             lambda c: poisson_element_matrices(c, mesh.etype, source=src),
-            n_shards=args.shards, rtol=args.rtol)
+            n_shards=args.shards, rtol=args.rtol, precond=args.precond)
     else:
         res = solve_poisson(mesh, dbc, rtol=args.rtol, method=args.ksp,
                             source=args.source, bc_mode=args.bc_mode,
@@ -318,10 +318,12 @@ def build_parser():
                     default="cg")
     sp.add_argument("--shards", type=int, default=0,
                     help="shard the solve over N devices (0 = single)")
-    sp.add_argument("--precond", choices=["jacobi", "bjacobi"],
+    sp.add_argument("--precond", choices=["jacobi", "bjacobi", "mg"],
                     default="bjacobi",
                     help="sharded-solve preconditioner (bjacobi = per-node "
-                         "blocks, the reference default; solverpetsc.F:206)")
+                         "blocks, the reference default, solverpetsc.F:206; "
+                         "mg = distributed geometric multigrid on "
+                         "generator lattices)")
     sp.add_argument("--refine", action="store_true",
                     help="double-float refinement to TRUE f64 rtol")
     sp.set_defaults(fn=cmd_elasticity)

@@ -127,6 +127,19 @@ def solve_implicit_sharded(
             np.array(devs[:n_shards]), ("shard",))
     n_shards = device_mesh.devices.size
 
+    if precond == "mg":
+        # distributed geometric multigrid (the PETSc options-file AMG escape
+        # hatch, solverpetsc.F:198-209): sharded fine level + replicated
+        # coarse tail.  Needs a coarsenable box_tet lattice and no ForceBCs;
+        # falls through to (block-)Jacobi CG otherwise.
+        if force_bc is None or len(force_bc) == 0:
+            try:
+                return _solve_mg_sharded(mesh, ndof, dirichlet, element_fn,
+                                         device_mesh, dtype, rtol, maxiter)
+            except ValueError:
+                pass
+        precond = "jacobi"
+
     t0 = time.perf_counter()
     try:
         setup = build_dist_setup(mesh, ndof, dirichlet, n_shards,
@@ -166,6 +179,32 @@ def solve_implicit_sharded(
         timings=dict(pattern_s=t_pattern, assemble_s=t_asm,
                      solve_s=t_solve,
                      distributed_assembly=setup is not None),
+    )
+
+
+def _solve_mg_sharded(mesh, ndof, dirichlet, element_fn, device_mesh,
+                      dtype, rtol, maxiter) -> ImplicitResult:
+    """Route precond='mg' to the distributed V-cycle CG
+    (parallel/dist_mg.py:solve_sharded_mg), mapping its full-system solution
+    back to the ImplicitResult contract."""
+    from pfemfort_tpu.dofs.dofmap import build_dofmap
+    from pfemfort_tpu.parallel.dist_mg import solve_sharded_mg
+
+    u_full, stats, timings = solve_sharded_mg(
+        mesh, ndof, dirichlet, element_fn, device_mesh=device_mesh,
+        dtype=dtype, rtol=rtol, maxiter=maxiter)
+    dofmap = build_dofmap(mesh, ndof, dirichlet)
+    # exact BC values on Dirichlet rows (the full-system identity rows carry
+    # them already, but merge from the dofmap for f64 exactness)
+    u_full = np.where(dofmap.free_mask_full(), u_full,
+                      dofmap.bc_values_full)
+    timings = dict(timings)
+    timings["distributed_assembly"] = True
+    return ImplicitResult(
+        u_full=u_full,
+        u_reduced=jnp.asarray(u_full[dofmap.assy_for_soln]),
+        stats=jax.tree.map(lambda a: np.asarray(a), stats),
+        timings=timings,
     )
 
 

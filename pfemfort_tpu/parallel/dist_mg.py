@@ -295,6 +295,11 @@ def dist_gmg_preconditioner(setup: DistMGSetup, vals_l, inv_diag_l, mask_l,
     nnz_c = (setup.nnz_true - 1) // 2 + 1      # true coarse planes
     zc_pad = (setup.n_shards * pp) // 2 + 1
     nyc, nxc = (nny - 1) // 2 + 1, (nnx - 1) // 2 + 1
+    # Coarse-level SpMVs stay on the portable XLA stencil (spmv_dia) rather
+    # than sparse.ops.dia_operator: the Pallas kernel has not been validated
+    # INSIDE shard_map (its value-stream pre-pad would also re-run per trace
+    # here), and the coarse tail is O(N/8) of the work — the fine level's
+    # halo SpMV dominates.
     coarse_ops = tuple(
         (lambda A: (lambda x: _dia_spmv(A, x)))(A) for A in coarse_arrays.mats)
 
@@ -302,12 +307,15 @@ def dist_gmg_preconditioner(setup: DistMGSetup, vals_l, inv_diag_l, mask_l,
         return spmv_dia_halo(offsets, vals_l, x_l, w, axis)
 
     def precond(r_l):
-        r_l = mask_l * r_l
-        e = om * inv_diag_l * r_l
+        # keep the ORIGINAL r_l for the identity-on-BC return below (matching
+        # gmg_preconditioner, solve/multigrid.py): the masked copy feeds the
+        # cycle so the preconditioner stays SPD even for nonzero BC residuals
+        rm = mask_l * r_l
+        e = om * inv_diag_l * rm
         for _ in range(setup.nu - 1):
-            e = e + om * inv_diag_l * (r_l - spmv(e))
+            e = e + om * inv_diag_l * (rm - spmv(e))
 
-        r1 = (mask_l * (r_l - spmv(e))).reshape(pp, nny, nnx, ndof)
+        r1 = (mask_l * (rm - spmv(e))).reshape(pp, nny, nnx, ndof)
         rc_l = _restrict_shard(setup, r1, axis)        # (pp//2, nyc, nxc, nd)
         rc_all = jax.lax.all_gather(rc_l, axis, tiled=True)
         rc = rc_all[:nnz_c].reshape(-1)                # replicated coarse r
@@ -321,7 +329,7 @@ def dist_gmg_preconditioner(setup: DistMGSetup, vals_l, inv_diag_l, mask_l,
         e = e + mask_l * _prolong_shard(setup, ec_pad, idx).reshape(-1)
 
         for _ in range(setup.nu):
-            e = e + om * inv_diag_l * (r_l - spmv(e))
+            e = e + om * inv_diag_l * (rm - spmv(e))
         return jnp.where(mask_l > 0, e, r_l)
 
     return precond
