@@ -36,6 +36,11 @@ from pfemfort_tpu.parallel.dist_assembly import (
     assemble_dia_local,
     build_dist_setup,
 )
+from pfemfort_tpu.parallel.dist_ell import (
+    DistELLSetup,
+    assemble_ell_local,
+    build_dist_ell_setup,
+)
 from pfemfort_tpu.parallel.shard import build_sharded_system
 from pfemfort_tpu.parallel.shard_cg import (
     distributed_cg_solve,
@@ -104,6 +109,55 @@ def assemble_implicit_sharded(
     return jax.jit(mapped)(coords_sj, edt_sj, ubc_sj, fext_sj)
 
 
+def assemble_implicit_sharded_ell(
+    setup: DistELLSetup,
+    element_fn: Callable,
+    device_mesh,
+    dtype,
+    force_bc: Optional[np.ndarray] = None,
+    axis: str = "shard",
+):
+    """Per-shard element kernels + sorted local ELL scatter + one all_to_all
+    ghost exchange (the general-mesh MatAssembly stash,
+    parallel/dist_ell.py).  Returns (vals (n_rows_padded, K) row-sharded,
+    b (n_rows_padded,) sharded)."""
+    sys_ = setup.sys
+    Prow, K = sys_.rows_per_shard, setup.ell_k
+    w_mat, w_rhs = setup.w_mat, setup.w_rhs
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(device_mesh, spec))
+
+    coords_sj = put(jnp.asarray(setup.coords_s, dtype=dtype), P(axis))
+    ubc_sj = put(jnp.asarray(setup.ubc_s, dtype=dtype), P(axis))
+    perm_sj = put(jnp.asarray(setup.perm_s), P(axis))
+    segids_sj = put(jnp.asarray(setup.segids_s), P(axis))
+    rmd_sj = put(jnp.asarray(setup.recv_mat_dest), P(axis))
+    rrd_sj = put(jnp.asarray(setup.recv_rhs_dest), P(axis))
+    fext = np.zeros(sys_.n_rows_padded, dtype=np.float64)
+    if force_bc is not None and len(force_bc):
+        fext = _force_vector(sys_.dofmap, sys_.eq_perm,
+                             sys_.n_rows_padded, force_bc)
+    fext_sj = put(jnp.asarray(fext, dtype=dtype), P(axis))
+
+    def body(coords_b, ubc_b, perm_b, segids_b, rmd_b, rrd_b, fext_l):
+        Ke, Fe_src = element_fn(coords_b[0])
+        Fe = Fe_src + dirichlet_rhs_correction(Ke, ubc_b[0])
+        vals_own, b_own = assemble_ell_local(
+            Ke, Fe, perm_b[0], segids_b[0], rmd_b[0], rrd_b[0],
+            Prow, K, w_mat, w_rhs, axis)
+        return vals_own, b_own + fext_l
+
+    mapped = jax.shard_map(
+        body,
+        mesh=device_mesh,
+        in_specs=(P(axis),) * 6 + (P(axis),),
+        out_specs=(P(axis, None), P(axis)),
+    )
+    return jax.jit(mapped)(coords_sj, ubc_sj, perm_sj, segids_sj,
+                           rmd_sj, rrd_sj, fext_sj)
+
+
 def solve_implicit_sharded(
     mesh: Mesh,
     ndof: int,
@@ -141,14 +195,25 @@ def solve_implicit_sharded(
         precond = "jacobi"
 
     t0 = time.perf_counter()
+    setup = esetup = None
     try:
         setup = build_dist_setup(mesh, ndof, dirichlet, n_shards,
                                  method=partition_method)
     except ValueError:
-        setup = None
+        # general-graph pattern (or halo wider than a shard): the
+        # unstructured per-shard ELL path with the all_to_all stash exchange
+        try:
+            esetup = build_dist_ell_setup(
+                mesh, ndof, dirichlet, n_shards,
+                method=("rcb" if partition_method == "slab"
+                        else partition_method))
+        except Exception:
+            esetup = None
     t_pattern = time.perf_counter() - t0
 
+    layout = "replicated"
     if setup is not None:
+        layout = "dia"
         t1 = time.perf_counter()
         vals_s, b_s = assemble_implicit_sharded(
             setup, element_fn, device_mesh, dtype, force_bc)
@@ -159,7 +224,24 @@ def solve_implicit_sharded(
         x, stats = distributed_cg_solve_dia(
             device_mesh, setup.offsets, vals_s, b_s,
             rtol=rtol, maxiter=maxiter, ndof_block=(
-                ndof if precond == "bjacobi" else 1))
+                ndof if precond == "bjacobi" else 1),
+            lattice=sys_.pattern.dia_lattice)
+        x = jax.block_until_ready(x)
+        t_solve = time.perf_counter() - t1
+    elif esetup is not None:
+        layout = "ell"
+        t1 = time.perf_counter()
+        vals_s, b_s = assemble_implicit_sharded_ell(
+            esetup, element_fn, device_mesh, dtype, force_bc)
+        jax.block_until_ready(b_s)
+        t_asm = time.perf_counter() - t1
+        sys_ = esetup.sys
+        cols_s = jax.device_put(
+            jnp.asarray(sys_.pattern.ell_cols),
+            NamedSharding(device_mesh, P("shard", None)))
+        t1 = time.perf_counter()
+        x, stats = distributed_cg_solve(device_mesh, cols_s, vals_s, b_s,
+                                        rtol=rtol, maxiter=maxiter)
         x = jax.block_until_ready(x)
         t_solve = time.perf_counter() - t1
     else:
@@ -178,7 +260,8 @@ def solve_implicit_sharded(
         stats=jax.tree.map(lambda a: np.asarray(a), stats),
         timings=dict(pattern_s=t_pattern, assemble_s=t_asm,
                      solve_s=t_solve,
-                     distributed_assembly=setup is not None),
+                     assembly_layout=layout,
+                     distributed_assembly=layout in ("dia", "ell")),
     )
 
 
@@ -236,7 +319,7 @@ def _solve_replicated_fallback(mesh, ndof, dirichlet, element_fn, n_shards,
         b_s, = shard_arrays(device_mesh, "shard", b)
         x, stats = distributed_cg_solve_dia(
             device_mesh, A.offsets, vals_s, b_s,
-            rtol=rtol, maxiter=maxiter)
+            rtol=rtol, maxiter=maxiter, lattice=A.lattice)
     else:
         cols_s, vals_s, b_s = shard_arrays(device_mesh, "shard",
                                            A.cols, A.vals, b)

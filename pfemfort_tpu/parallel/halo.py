@@ -81,3 +81,59 @@ def spmv_dia_halo(offsets: Tuple[int, ...], vals_local: jnp.ndarray,
         y_bot = y_bot + vals_local[d, P - w:] \
             * jax.lax.slice_in_dim(x_ext, P + o, P + o + w)
     return jnp.concatenate([y_top, y_mid, y_bot])
+
+
+def lattice_halo_plan(offsets: Tuple[int, ...],
+                      lattice: Tuple[int, ...]):
+    """Static plan for the stencil form of the sharded DIA SpMV.
+
+    Returns (shifts, wp) — per-offset per-axis lattice shifts and the halo
+    depth in PLANES — or None when the offsets do not decompose into a
+    lattice stencil (then callers use the 1-D shifted-slice form).
+    """
+    from pfemfort_tpu.sparse.dia import decompose_offsets
+
+    if lattice is None or len(lattice) < 2 or min(lattice) < 5:
+        return None
+    shifts = decompose_offsets(offsets, lattice)
+    if shifts is None:
+        return None
+    wp = max((abs(s[0]) for s in shifts), default=0)
+    return shifts, max(wp, 1)
+
+
+def spmv_dia_halo_lattice(shifts, vals_local: jnp.ndarray,
+                          x_local: jnp.ndarray, lattice: Tuple[int, ...],
+                          wp: int, axis: str) -> jnp.ndarray:
+    """y_local = (A x)_local as an N-D lattice stencil on the shard's
+    z-slab (requires plane-aligned shard rows; parallel/shard.py).
+
+    The halo exchange ships wp whole planes to/from the ring neighbors;
+    every diagonal then becomes one sliced window of the padded slab —
+    the same fused bandwidth-bound sweep as sparse/dia.py:_spmv_dia_lattice
+    (~5x the 1-D shifted-slice bandwidth on TPU, BENCH_r02).  Entries that
+    would wrap across a lattice row are zero by FEM construction.
+    """
+    plane_shape = tuple(lattice[1:])
+    plane = 1
+    for s in plane_shape:
+        plane *= s
+    P = x_local.shape[0]
+    pz = P // plane
+    nd = len(lattice)
+
+    left, right = exchange_halos(x_local, wp * plane, axis)
+    x_ext = jnp.concatenate([left, x_local, right]).reshape(
+        (pz + 2 * wp,) + plane_shape)
+    pads = [wp] + [max((abs(s[a]) for s in shifts), default=0)
+                   for a in range(1, nd)]
+    xp = jnp.pad(x_ext, [(0, 0)] + [(p, p) for p in pads[1:]])
+    shape_l = (pz,) + plane_shape
+    y = jnp.zeros(shape_l, dtype=x_local.dtype)
+    for d, sh in enumerate(shifts):
+        starts = [pads[a] + sh[a] for a in range(nd)]
+        starts[0] = wp + sh[0]
+        limits = [starts[a] + shape_l[a] for a in range(nd)]
+        xs = jax.lax.slice(xp, starts, limits)
+        y = y + vals_local[d].reshape(shape_l) * xs
+    return y.reshape(-1)

@@ -57,6 +57,7 @@ def build_sharded_system(
 ) -> ShardedSystem:
     """Partition the mesh and build a shard-contiguous assembly pattern."""
     dofmap = build_dofmap(mesh, ndof, dirichlet)
+    red_lat = None
     if method == "slab":
         # Contiguous equation-block ownership: shard s owns rows
         # [s*P, (s+1)*P) of the ORIGINAL equation numbering, padding only
@@ -67,6 +68,16 @@ def build_sharded_system(
         # census stays the original stencil (no pad-jump offsets at shard
         # boundaries, no scrambled boundary nodes).
         P = round_up(-(-max(dofmap.total_dof, 1) // n_shards), lane_pad)
+        from pfemfort_tpu.dofs.dofmap import reduced_lattice
+        red_lat = reduced_lattice(mesh, dofmap)
+        if red_lat is not None and len(red_lat) >= 2:
+            # Align shard boundaries to whole lattice planes: each shard's
+            # rows are then a z-slab of the reduced lattice, enabling the
+            # N-D stencil form of the in-shard SpMV (parallel/halo.py:
+            # spmv_dia_halo_lattice) — ~5x the bandwidth of 1-D shifted
+            # slices on TPU (BENCH_r02: 104 vs 480+ GB/s).
+            plane = int(np.prod(red_lat[1:]))
+            P = plane * (-(-P // plane))
         eq_perm = np.arange(dofmap.total_dof, dtype=np.int64)
         eq_node = dofmap.assy_for_soln // ndof
         node_part = np.zeros(mesh.n_node, dtype=np.int32)
@@ -98,8 +109,18 @@ def build_sharded_system(
     elem_dof = dofmap.elem_dof
     mapped = np.where(elem_dof >= 0, eq_perm[np.clip(elem_dof, 0, None)], -1)
 
+    pad_lat = None
+    if red_lat is not None and len(red_lat) >= 2:
+        # identity numbering + plane-aligned shards: the padded row space is
+        # itself a lattice (extra all-zero planes at the end), so the
+        # stencil SpMV stays available after sharding
+        plane = int(np.prod(red_lat[1:]))
+        if (n_shards * P) % plane == 0:
+            pad_lat = ((n_shards * P) // plane,) + tuple(red_lat[1:])
+
     pattern = build_pattern(mapped.astype(np.int32), n_shards * P,
-                            lane_pad=lane_pad, layout=layout)
+                            lane_pad=lane_pad, layout=layout,
+                            lattice=pad_lat)
     return ShardedSystem(
         n_shards=n_shards,
         rows_per_shard=P,

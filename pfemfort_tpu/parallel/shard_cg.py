@@ -20,7 +20,12 @@ import numpy as np
 from jax.sharding import Mesh as JMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pfemfort_tpu.parallel.halo import halo_width, spmv_dia_halo
+from pfemfort_tpu.parallel.halo import (
+    halo_width,
+    lattice_halo_plan,
+    spmv_dia_halo,
+    spmv_dia_halo_lattice,
+)
 from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
 
 
@@ -159,6 +164,7 @@ def distributed_cg_solve_dia(
     maxiter: int = 10_000,
     axis: str = "shard",
     ndof_block: int = 1,
+    lattice=None,
 ):
     """CG with the halo-exchange DIA SpMV: per-iteration comm is two
     ppermute shifts of the halo width W = max|offset| (plus psum dots)
@@ -168,19 +174,38 @@ def distributed_cg_solve_dia(
 
     ndof_block > 1 selects per-node block-Jacobi preconditioning
     (the reference default PC=BJACOBI, solverpetsc.F:206).
+
+    `lattice`: optional static reduced-lattice shape.  When shard rows are
+    plane-aligned (parallel/shard.py rounds slab shards to whole planes)
+    and the offsets decompose into a stencil, the in-shard SpMV runs as the
+    N-D sliced-window form — the fast kernel the single-chip path uses —
+    instead of 1-D shifted slices (~5x bandwidth on TPU).
     """
     n_rows = b.shape[0]
     n_shards = device_mesh.devices.size
     rows_per_shard = n_rows // n_shards
     w = halo_width(offsets)
     use_halo = w <= rows_per_shard
+    plan = None
+    if use_halo and lattice is not None:
+        plane = int(np.prod(lattice[1:]))
+        if rows_per_shard % plane == 0:
+            plan = lattice_halo_plan(offsets, tuple(lattice))
+            if plan is not None and plan[1] * plane > rows_per_shard:
+                plan = None
     try:
         d0 = list(offsets).index(0)
     except ValueError:
         d0 = None
 
     def body(vals_l, b_l):
-        if use_halo:
+        if plan is not None:
+            shifts, wp = plan
+
+            def operator(x_l):
+                return spmv_dia_halo_lattice(shifts, vals_l, x_l,
+                                             tuple(lattice), wp, axis)
+        elif use_halo:
             def operator(x_l):
                 return spmv_dia_halo(offsets, vals_l, x_l, w, axis)
         else:

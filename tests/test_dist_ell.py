@@ -1,0 +1,125 @@
+"""Unstructured distributed assembly (parallel/dist_ell.py): per-shard ELL
+blocks + one all_to_all ghost exchange must reproduce the replicated
+assembly exactly and solve the reference's unstructured fixtures 1-vs-N.
+
+Reference behavior being matched: element-ownership assembly on ANY
+METIS-partitioned mesh (/root/reference/src/triapoissonparallelimpl1.F:
+849-905) with the PETSc stash exchange (solverpetsc.F:447-468).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfemfort_tpu.assembly.assemble import (
+    assemble_matrix,
+    assemble_rhs,
+    dirichlet_rhs_correction,
+)
+from pfemfort_tpu.drivers.poisson import solve_poisson
+from pfemfort_tpu.drivers.sharded import (
+    assemble_implicit_sharded_ell,
+    solve_implicit_sharded,
+)
+from pfemfort_tpu.elements.elasticity import dmat_3d, elasticity_stiffness
+from pfemfort_tpu.elements.geometry import to_element_minor
+from pfemfort_tpu.elements.poisson import poisson_element_matrices
+from pfemfort_tpu.mesh import generate
+from pfemfort_tpu.parallel.dist_ell import build_dist_ell_setup
+
+POISSON = lambda c: poisson_element_matrices(c, "tetra4", source=-6.0)
+
+
+def _mesh_or_skip(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices")
+    return jax.sharding.Mesh(np.array(devs[:n]), ("shard",))
+
+
+def _scrambled_box(nx=5, ny=5, nz=8, seed=0):
+    mesh, dbc = generate.box_tet(0, 1, nx, 0, 1, ny, 0, 1, nz)
+    perm = np.random.default_rng(seed).permutation(mesh.n_node)
+    mesh = mesh.renumbered(perm.astype(np.int64))
+    dbc = dbc.copy()
+    dbc[:, 0] = perm[dbc[:, 0].astype(np.int64)]
+    return mesh, dbc
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_assembly_matches_replicated_oracle(n_shards):
+    """Sharded ELL values/rhs == replicated assembly on the same pattern."""
+    dm = _mesh_or_skip(n_shards)
+    mesh, dbc = _scrambled_box()
+    setup = build_dist_ell_setup(mesh, 1, dbc, n_shards)
+    vals_s, b_s = assemble_implicit_sharded_ell(
+        setup, POISSON, dm, jnp.float64)
+
+    sys_ = setup.sys
+    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()))
+    ubc_e = jnp.asarray(
+        sys_.dofmap.bc_values_full[sys_.dofmap.elem_nodedof].T)
+    Ke, Fe_src = POISSON(coords_em)
+    A = assemble_matrix(Ke, sys_.pattern)
+    b = assemble_rhs(Fe_src + dirichlet_rhs_correction(Ke, ubc_e),
+                     sys_.pattern)
+    np.testing.assert_allclose(np.asarray(vals_s), np.asarray(A.vals),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b_s), np.asarray(b), atol=1e-12)
+
+
+def test_every_shard_owns_elements_and_ghosts_are_small():
+    mesh, dbc = _scrambled_box(6, 6, 12)
+    setup = build_dist_ell_setup(mesh, 1, dbc, 8)
+    counts = np.bincount(setup.elem_owner, minlength=8)
+    assert (counts > 0).all()
+    assert setup.emax <= 2 * mesh.n_elem / 8
+    # ghost windows stay a small fraction of a shard's own rows (surface
+    # vs volume) — the point of element-partitioned assembly
+    assert setup.w_mat <= setup.rows_per_shard * setup.ell_k
+    assert setup.w_rhs <= setup.rows_per_shard
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_solve_matches_single_device(n_shards, tet10):
+    dm = _mesh_or_skip(n_shards)
+    mesh, dbc, _ = tet10
+    ref = solve_poisson(mesh, dbc, rtol=1e-11)
+    res = solve_implicit_sharded(mesh, 1, dbc, POISSON,
+                                 device_mesh=dm, rtol=1e-11)
+    # tet10 is the generator's lattice box, so DIA per-shard assembly may
+    # claim it — either way assembly must be DISTRIBUTED, never replicated
+    assert res.timings["distributed_assembly"], res.timings
+    assert np.allclose(res.u_full, ref.u_full, atol=1e-8)
+    assert abs(int(res.stats.iters) - int(ref.stats.iters)) <= 2
+
+
+@pytest.mark.parametrize("scramble", [False, True])
+def test_beam_elasticity_with_force_bc(beam3d, scramble):
+    """The reference's beam3Dtet6366 fixture (unstructured tets, ndof=3,
+    nodal point load) through the distributed path.  scramble=True permutes
+    the node numbering to force the general ELL + all_to_all route."""
+    dm = _mesh_or_skip(4)
+    mesh, dbc, fbc = beam3d
+    if scramble:
+        perm = np.random.default_rng(1).permutation(mesh.n_node)
+        mesh = mesh.renumbered(perm.astype(np.int64))
+        dbc = dbc.copy()
+        dbc[:, 0] = perm[dbc[:, 0].astype(np.int64)]
+        fbc = fbc.copy()
+        fbc[:, 0] = perm[fbc[:, 0].astype(np.int64)]
+    E_, nu_ = 240.565, 0.3
+    efn = lambda c: elasticity_stiffness(c, "tetra4", dmat_3d(E_, nu_))
+
+    from pfemfort_tpu.drivers.elasticity import solve_elasticity
+    ref = solve_elasticity(mesh, dbc, E_, nu_, force_bc=fbc, rtol=1e-11)
+
+    res = solve_implicit_sharded(mesh, 3, dbc, efn, device_mesh=dm,
+                                 force_bc=fbc, rtol=1e-11)
+    if scramble:
+        assert res.timings["assembly_layout"] == "ell", res.timings
+    assert res.timings["distributed_assembly"], res.timings
+    assert bool(np.asarray(res.stats.converged))
+    scale = np.abs(ref.u_full).max()
+    assert np.abs(res.u_full - ref.u_full).max() < 1e-8 * max(scale, 1.0)

@@ -67,6 +67,46 @@ def test_halo_cg_elasticity_3d():
     assert np.allclose(res.u_full, ref.u_full, atol=1e-7)
 
 
+def test_lattice_halo_spmv_matches_single_device():
+    """The stencil form of the in-shard SpMV (spmv_dia_halo_lattice) must
+    equal the single-device DIA SpMV exactly, and the slab sharding must
+    make it eligible (plane-aligned shards + decomposable offsets)."""
+    from pfemfort_tpu.assembly.assemble import assemble_matrix
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    from pfemfort_tpu.parallel.halo import (
+        lattice_halo_plan, spmv_dia_halo_lattice)
+    from pfemfort_tpu.parallel.shard import build_sharded_system
+    from pfemfort_tpu.sparse.dia import spmv_dia
+    from jax.sharding import PartitionSpec as P
+
+    dm = _mesh_or_skip(4)
+    mesh, dbc = generate.box_tet(0, 1, 6, 0, 1, 7, 0, 1, 9)
+    sys_ = build_sharded_system(mesh, 1, dbc, 4, method="slab")
+    lat = sys_.pattern.dia_lattice
+    assert lat is not None                      # sharding kept the lattice
+    plane = int(np.prod(lat[1:]))
+    assert sys_.rows_per_shard % plane == 0     # plane-aligned shards
+    plan = lattice_halo_plan(sys_.pattern.dia_offsets, lat)
+    assert plan is not None                     # offsets decompose
+    shifts, wp = plan
+
+    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()))
+    Ke, _ = poisson_element_matrices(coords_em, "tetra4", source=-6.0)
+    A = assemble_matrix(Ke, sys_.pattern)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=sys_.n_rows_padded))
+    y_ref = spmv_dia(A, x)
+
+    def body(vals_l, x_l):
+        return spmv_dia_halo_lattice(shifts, vals_l, x_l, lat, wp, "shard")
+
+    y = jax.jit(jax.shard_map(
+        body, mesh=dm,
+        in_specs=(P(None, "shard"), P("shard")),
+        out_specs=P("shard")))(A.vals, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
+
+
 def test_manufactured_solution_on_shards():
     dm = _mesh_or_skip(8)
     mesh, dbc = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 8)
