@@ -205,10 +205,16 @@ def cmd_cfd(args):
           f"final max|div u| = {float(res.div_history[-1]):.3e}")
     if args.output:
         from pfemfort_tpu.io.vtk import write_vtk
-        sol = np.concatenate(
-            [res.velocity, res.pressure[:, None]], axis=1).reshape(-1)
-        write_vtk(args.output, mesh, sol, 3)
-        print(f" Wrote {args.output} (vector = u,v,p)")
+        if mesh.ndim == 2:
+            # 2D: pack (u, v, p) as a 3-vector (ParaView-friendly)
+            sol = np.concatenate(
+                [res.velocity, res.pressure[:, None]], axis=1).reshape(-1)
+            write_vtk(args.output, mesh, sol, 3)
+            print(f" Wrote {args.output} (vector = u,v,p)")
+        else:
+            write_vtk(args.output, mesh, res.velocity.reshape(-1),
+                      mesh.ndim)
+            print(f" Wrote {args.output} (vector = u,v,w)")
     return 0
 
 

@@ -209,6 +209,7 @@ def build_gmg(
     omega: float = 0.8,
     coarsest_max_dof: int = 4096,
     min_cells: int = 2,
+    fine_matrix: Optional[DIAMatrix] = None,
 ) -> Optional[Tuple[GMGArrays, GMGMeta]]:
     """Build the multigrid hierarchy for a structured mesh.
 
@@ -216,6 +217,12 @@ def build_gmg(
     coarsening chain cannot reach a dense-invertible coarsest level (the
     caller then falls back to Jacobi).  `bc_mask_full` is the (n_node*ndof,)
     Dirichlet mask of the FINE full system.
+
+    `fine_matrix`: optional pre-assembled AND pre-symmetrized (identity BC
+    rows+columns) FULL-system fine-level DIA — skips the fine-level element
+    assembly, which at 48M elements is the only expensive level.  Callers
+    with host f64 values symmetrize there (assembly/stencil64.py flow) so no
+    mask constants ship through the (remote) compile tunnel.
     """
     st = mesh.structure or {}
     if st.get("kind") not in ("box_tet", "rect_tria"):
@@ -246,8 +253,11 @@ def build_gmg(
 
     # --- per-level operators ---
     mats, inv_diags, masks = [], [], []
-    for m, bm in zip(meshes, masks_np):
-        A = _assemble_level(m, ndof, element_fn, dtype, bm)
+    for li, (m, bm) in enumerate(zip(meshes, masks_np)):
+        if li == 0 and fine_matrix is not None:
+            A = fine_matrix
+        else:
+            A = _assemble_level(m, ndof, element_fn, dtype, bm)
         d = dia_diagonal(A)
         mats.append(A)
         inv_diags.append(jnp.where(d != 0, 1.0 / d, 0.0).astype(dtype))

@@ -48,6 +48,10 @@ def _rule(etype, ngp):
             return [(1 / 3, 1 / 3, 0.0)], [1.0]
         if ngp == 2:
             return [(1 / 3, 1 / 3, -_G3), (1 / 3, 1 / 3, _G3)], [0.5, 0.5]
+    if etype == "hexa8" and ngp == 8:
+        pts = [(sx * _G3, sy * _G3, sz * _G3)
+               for sz in (-1, 1) for sy in (-1, 1) for sx in (-1, 1)]
+        return pts, [1.0] * 8
     raise ValueError((etype, ngp))
 
 
@@ -103,6 +107,21 @@ def _shape(etype, xi):
             [0, hi, 0.5 * b],
         ])
         return N, dN
+    if etype == "hexa8":
+        # lattice-bit node order (x fastest), as generate.box_hexa /
+        # LagrangeBasisFunsHex (basisfuncs.F:323-330)
+        a, b, c = xi
+        N = np.zeros(8)
+        dN = np.zeros((8, 3))
+        for k in range(8):
+            s_ = [2 * ((k >> d) & 1) - 1 for d in range(3)]
+            f = [(1 + s_[0] * a) / 2, (1 + s_[1] * b) / 2,
+                 (1 + s_[2] * c) / 2]
+            N[k] = f[0] * f[1] * f[2]
+            dN[k, 0] = s_[0] / 2 * f[1] * f[2]
+            dN[k, 1] = f[0] * s_[1] / 2 * f[2]
+            dN[k, 2] = f[0] * f[1] * s_[2] / 2
+        return N, dN
     raise ValueError(etype)
 
 
@@ -115,7 +134,8 @@ def oracle_residual(etype, xe, ue, D, dens, b, thickness=1.0, ngp=None):
     """F = dens*dvol*N*b - dvol*B^T sigma, sigma = D (tensorial strain)."""
     npe, ndim = xe.shape
     if ngp is None:
-        ngp = {"tria3": 1, "tria6": 3, "tetra4": 1, "prism6": 1}[etype]
+        ngp = {"tria3": 1, "tria6": 3, "tetra4": 1, "prism6": 1,
+               "hexa8": 8}[etype]
     pts, wts = _rule(etype, ngp)
     pairs = _voigt(ndim)
     F = np.zeros(npe * ndim)
@@ -195,6 +215,7 @@ _CASES = [
     ("tria6", lambda: generate.rect_tria6(0, 1.1, 2, 0, 0.8, 2), 2),
     ("tetra4", lambda: generate.box_tet(0, 1, 2, 0, 1.2, 2, 0, 0.7, 2)[0], 3),
     ("prism6", lambda: generate.box_prism(0, 1, 2, 0, 1.1, 2, 0, 0.8, 2), 3),
+    ("hexa8", lambda: generate.box_hexa(0, 1, 2, 0, 1.1, 2, 0, 0.8, 2), 3),
 ]
 
 

@@ -75,7 +75,7 @@ def test_mg_2d_rect_tria_analytic():
 def test_mg_iterations_mesh_independent():
     """The multigrid promise: iteration count does not grow with n."""
     iters = []
-    for n in (8, 16, 32):
+    for n in (8, 16, 24):
         mesh, dbc = generate.box_tet(0, 1, n, 0, 1, n, 0, 1, n)
         res = _solve_mg(mesh, dbc, rtol=1e-8)
         assert bool(res.stats.converged)
@@ -117,16 +117,18 @@ def test_gmg_elasticity_3d():
     from pfemfort_tpu.drivers.elasticity import solve_elasticity
     from pfemfort_tpu.mesh import generate
 
-    mesh, _ = generate.box_tet(0, 1, 6, 0, 1, 6, 0, 1, 6)
+    # 4^3 keeps the three full solves (reduced / full-Jacobi / full-MG)
+    # under ~15 s on 2 CPU cores while still two genuine MG levels deep
+    mesh, _ = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 4)
     base = np.nonzero(np.isclose(mesh.coords[:, 2], 0))[0]
     dbc = np.array([[n, d, 0.0] for n in base for d in (0, 1, 2)])
     E, nu = 210.0, 0.3
     fbc = np.array([[int(np.argmax(mesh.coords.sum(axis=1))), 0, 1.0]])
 
-    ref = solve_elasticity(mesh, dbc, E, nu, force_bc=fbc, rtol=1e-10)
-    res_j = solve_elasticity(mesh, dbc, E, nu, force_bc=fbc, rtol=1e-10,
+    ref = solve_elasticity(mesh, dbc, E, nu, force_bc=fbc, rtol=1e-9)
+    res_j = solve_elasticity(mesh, dbc, E, nu, force_bc=fbc, rtol=1e-9,
                              bc_mode="full")
-    res_mg = solve_elasticity(mesh, dbc, E, nu, force_bc=fbc, rtol=1e-10,
+    res_mg = solve_elasticity(mesh, dbc, E, nu, force_bc=fbc, rtol=1e-9,
                               bc_mode="full", precond="mg")
     assert bool(np.asarray(res_mg.stats.converged))
     assert np.allclose(res_mg.u_full, ref.u_full, atol=1e-7)

@@ -107,15 +107,15 @@ def test_structured_elasticity_full_solve():
     the reduced solve."""
     from pfemfort_tpu.drivers.elasticity import solve_elasticity
 
-    mesh, _ = generate.box_tet(0, 1, 3, 0, 1, 3, 0, 3, 9)
+    mesh, _ = generate.box_tet(0, 1, 3, 0, 1, 3, 0, 2, 6)
     base = np.nonzero(np.isclose(mesh.coords[:, 2], 0))[0]
     dbc = np.array([[n, d, 0.0] for n in base for d in (0, 1, 2)])
     tip = int(np.argmax(mesh.coords[:, 2]))
     fbc = np.array([[tip, 0, 1.0]])
     ref = solve_elasticity(mesh, dbc, 240.565, 0.3, force_bc=fbc,
-                           rtol=1e-11)
+                           rtol=1e-10)
     res = solve_elasticity(mesh, dbc, 240.565, 0.3, force_bc=fbc,
-                           rtol=1e-11, bc_mode="full")
+                           rtol=1e-10, bc_mode="full")
     assert bool(np.asarray(res.stats.converged))
     assert np.allclose(res.u_full, ref.u_full, atol=1e-7)
 
@@ -233,7 +233,7 @@ def test_chunked_structured_assembly_matches_oneshot():
     Ke, Fe = efn(coords)
     A0 = assemble_dia_structured(Ke, plan)
     b0 = assemble_rhs_structured(Fe, plan)
-    for nc in (2, 3, 6):
+    for nc in (2, 3):
         A1, b1 = jax.jit(
             lambda c, nc=nc: assemble_structured_chunked(efn, c, plan, nc)
         )(coords)
