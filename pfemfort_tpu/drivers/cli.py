@@ -303,9 +303,11 @@ def build_parser():
                     default="reduced",
                     help="reduced = BC-eliminated system (impl1/2); "
                          "full = MatZeroRows identity rows (impl3)")
-    sp.add_argument("--precond", choices=["jacobi", "mg"], default="jacobi",
-                    help="mg = geometric multigrid (structured meshes, "
-                         "bc-mode=full)")
+    sp.add_argument("--precond", choices=["jacobi", "cheby", "mg"],
+                    default="jacobi",
+                    help="cheby = Chebyshev polynomial (ILU-class for "
+                         "unstructured meshes); mg = geometric multigrid "
+                         "(structured meshes, bc-mode=full)")
     sp.add_argument("--refine", action="store_true",
                     help="double-float refinement to TRUE f64 rtol")
     sp.add_argument("--matrix-free", action="store_true",

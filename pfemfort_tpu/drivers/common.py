@@ -139,6 +139,8 @@ def solve_implicit(
     maxiter: Optional[int] = None,
     method: str = "cg",
     refine: bool = False,
+    recover: bool = True,
+    precond: str = "jacobi",
 ) -> ImplicitResult:
     """Assemble and solve K u = F for one element kernel.
 
@@ -152,7 +154,30 @@ def solve_implicit(
                   f64 residual loop reaching rtol in TRUE f64 residual (the
                   TPU path to the reference's double-precision 1e-8 target;
                   solve/refine.py).  Ignores `dtype` and `method`.
+      recover:    when a structure-less mesh's diagonal census fails the DIA
+                  threshold, try the geometric lexicographic renumbering
+                  (mesh/reorder.py) that restores the gather-free SpMV for
+                  permuted lattice meshes; the solution is mapped back to
+                  the caller's numbering.
     """
+    if recover and mesh.structure is None and not refine:
+        from pfemfort_tpu.mesh.reorder import recover_structure
+
+        rec = recover_structure(mesh, ndof, dirichlet, force_bc)
+        if rec is not None:
+            mesh2, dbc2, fbc2, perm, dofmap0 = rec
+            res = solve_implicit(
+                mesh2, ndof, dbc2, element_fn, force_bc=fbc2, dtype=dtype,
+                rtol=rtol, atol=atol, maxiter=maxiter, method=method,
+                recover=False, precond=precond)
+            u_full = res.u_full.reshape(mesh.n_node, ndof)[perm].reshape(-1)
+            timings = dict(res.timings, structure_recovered=True)
+            return ImplicitResult(
+                u_full=u_full,
+                u_reduced=jnp.asarray(u_full[dofmap0.assy_for_soln]),
+                stats=res.stats,
+                timings=timings,
+            )
     if refine:
         return _solve_implicit_refined(
             mesh, ndof, dirichlet, element_fn, force_bc=force_bc,
@@ -180,10 +205,18 @@ def solve_implicit(
         A, b = assemble_reduced(coords_em)
         b = b + fvec
         operator, diag = operator_and_diag(A)
+        if precond == "cheby":
+            # Chebyshev polynomial of D^{-1}A — the TPU-first stand-in for
+            # the reference's serial-driver PC=ILU
+            # (triapoissonserialimpl1.F:696); see solve/precond.py
+            from pfemfort_tpu.solve.precond import chebyshev_preconditioner
+            pre = chebyshev_preconditioner(operator, diag)
+        else:
+            pre = jacobi_preconditioner(diag)
         u, stats = solver(
             operator,
             b,
-            precond=jacobi_preconditioner(diag),
+            precond=pre,
             rtol=rtol,
             atol=atol,
             maxiter=maxiter,

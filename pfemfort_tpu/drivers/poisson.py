@@ -44,8 +44,10 @@ def solve_poisson(
     bc_mode: 'reduced' eliminates BC dofs from the system (impl1/impl2
     semantics); 'full' keeps the full-size system with MatZeroRows identity
     rows (impl3 semantics, triapoissonserialimpl3.F:557-558).
-    precond: 'jacobi' or 'mg' (geometric multigrid; bc_mode='full' on
-    structured lattice meshes only — falls back to Jacobi elsewhere).
+    precond: 'jacobi', 'cheby' (Chebyshev polynomial of D^{-1}A — the
+    TPU-first ILU-class option for unstructured meshes, reduced mode), or
+    'mg' (geometric multigrid; bc_mode='full' on structured lattice meshes
+    only — falls back to Jacobi elsewhere).
     refine: mixed-precision f32-inner/f64-outer iterative refinement.
     """
     if source is None:
@@ -67,7 +69,7 @@ def solve_poisson(
     return solve_implicit(
         mesh, 1, dirichlet, element_fn,
         dtype=dtype, rtol=rtol, maxiter=maxiter, method=method,
-        refine=refine)
+        refine=refine, precond=precond)
 
 
 def _solve_poisson_matfree(mesh, dirichlet, kappa, af, source,

@@ -28,7 +28,14 @@ def gmres_solve(
     maxiter: int = 1000,
     dot: Callable = _default_dot,
 ):
-    """Left-preconditioned restarted GMRES.  Returns (x, SolveStats)."""
+    """Left-preconditioned restarted GMRES.  Returns (x, SolveStats).
+
+    Convergence is tested on the PRECONDITIONED residual ||M^{-1}(b-Ax)||
+    (the Givens-recurrence estimate |g_j|, free per step) relative to
+    ||M^{-1}b|| — PETSc's default left-preconditioned convention
+    (KSP_NORM_PRECONDITIONED), unlike cg_solve's true-residual test.
+    Arnoldi stops MID-CYCLE as soon as |g_j| <= tol, so a converged solve
+    does not pay for the rest of its restart window."""
     if precond is None:
         precond = lambda r: r
     if x0 is None:
@@ -52,8 +59,8 @@ def gmres_solve(
         g = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
         V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
 
-        def body(j, carry):
-            V, H, cs, sn, g = carry
+        def body(carry):
+            V, H, cs, sn, g, j = carry
             w = precond(operator(V[j]))
 
             # modified Gram-Schmidt against all m+1 rows (rows > j are zero)
@@ -88,10 +95,17 @@ def gmres_solve(
             g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
 
             H = H.at[:, j].set(hcol[: m + 1])
-            return (V, H, cs, sn, g)
+            return (V, H, cs, sn, g, j + 1)
 
-        V, H, cs, sn, g = jax.lax.fori_loop(
-            0, m, body, (V, H, cs, sn, g))
+        def cond(carry):
+            V, H, cs, sn, g, j = carry
+            # |g[j]| is the preconditioned residual after j Arnoldi steps:
+            # stop the cycle early once converged (each further step costs
+            # an operator application)
+            return jnp.logical_and(j < m, jnp.abs(g[j]) > tol)
+
+        V, H, cs, sn, g, jdone = jax.lax.while_loop(
+            cond, body, (V, H, cs, sn, g, jnp.int32(0)))
 
         # back-substitute H y = g (upper triangular m x m)
         def back(idx, y):
@@ -101,10 +115,12 @@ def gmres_solve(
             yj = jnp.where(H[j, j] != 0, s / H[j, j], 0.0)
             return y.at[j].set(yj)
 
+        # unfilled columns (j >= jdone) have H[j,j] == 0 -> y[j] == 0, so
+        # the full-m back-substitution is exact for the partial cycle too
         y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), dtype=dtype))
         x = x + jnp.einsum("i,in->n", y, V[:m])
-        res = jnp.abs(g[m])
-        return x, res
+        res = jnp.abs(g[jdone])
+        return x, res, jdone
 
     def cond(state):
         x, res, it = state
@@ -112,8 +128,8 @@ def gmres_solve(
 
     def body(state):
         x, _, it = state
-        x, res = arnoldi_cycle(x)
-        return (x, res, it + m)
+        x, res, jdone = arnoldi_cycle(x)
+        return (x, res, it + jdone)
 
     r0 = precond(b - operator(x0))
     state = (x0, jnp.sqrt(dot(r0, r0)), jnp.int32(0))

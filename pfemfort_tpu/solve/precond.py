@@ -1,10 +1,19 @@
 """Preconditioners beyond scalar Jacobi.
 
-The reference's PETSc default is block-Jacobi with one ILU block per MPI rank
-(/root/reference/src/solverpetsc.F:206).  On TPU the natural block-Jacobi
-granularity is the nodal (ndof x ndof) block of vector problems — point-block
-Jacobi — which captures the inter-component coupling of elasticity that
-scalar Jacobi ignores, with a closed-form inverse that stays element-minor.
+The reference's PETSc defaults are block-Jacobi with one ILU block per MPI
+rank (/root/reference/src/solverpetsc.F:206) and plain ILU for the serial
+drivers (triapoissonserialimpl1.F:696).  ILU's sequential triangular solves
+are the opposite of what a TPU wants; the TPU-native substitutes are:
+
+  * point-block Jacobi — nodal (ndof x ndof) blocks with closed-form
+    inverses (captures elasticity's inter-component coupling);
+  * CHEBYSHEV polynomial preconditioning — z = p_k(D^{-1}A) D^{-1} r, a
+    fixed-degree polynomial of the Jacobi-scaled operator: k extra SpMVs
+    per application, zero sequential dependencies, SPD-preserving, and the
+    standard smoothed-iteration answer to "ILU-class strength without
+    triangular solves" on wide-vector hardware.  This is the preconditioner
+    for genuinely unstructured meshes where geometric multigrid does not
+    apply.
 """
 
 from __future__ import annotations
@@ -104,5 +113,64 @@ def block_jacobi_preconditioner(A: Union[DIAMatrix, ELLMatrix],
         rb = r.reshape(-1, bs).T                     # (bs, nb)
         zb = sum(inv[:, d, :] * rb[d][None, :] for d in range(bs))
         return zb.T.reshape(-1)
+
+    return apply
+
+
+def estimate_lmax_jacobi(operator: Callable, diag: jnp.ndarray,
+                         iters: int = 12) -> jnp.ndarray:
+    """Largest eigenvalue of D^{-1}A by power iteration (traced, jit-safe).
+
+    Deterministic start vector; `iters` SpMVs once per solve setup."""
+    import jax
+
+    dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    n = diag.shape[0]
+    v0 = jnp.sin(jnp.arange(n, dtype=diag.dtype) + 1.0)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(i, carry):
+        v, lam = carry
+        w = dinv * operator(v)
+        nw = jnp.linalg.norm(w)
+        return (w / jnp.where(nw > 0, nw, 1.0), nw)
+
+    _, lam = jax.lax.fori_loop(0, iters, body, (v0, jnp.array(1.0,
+                                                              diag.dtype)))
+    return lam
+
+
+def chebyshev_preconditioner(operator: Callable, diag: jnp.ndarray,
+                             lmax=None, lmin=None,
+                             degree: int = 3) -> Callable:
+    """z = p_k(D^{-1}A) D^{-1} r: Chebyshev polynomial of the Jacobi-scaled
+    operator over [lmin, lmax].
+
+    Fixed linear SPD operator (safe inside CG); `degree` SpMVs per
+    application.  Default bounds: lmax from power iteration * 1.05,
+    lmin = lmax / 30 (the standard smoother convention — clustering the
+    high end is what helps CG).
+    """
+    dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    if lmax is None:
+        lmax = estimate_lmax_jacobi(operator, diag) * 1.05
+    if lmin is None:
+        lmin = lmax / 30.0
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+
+    def apply(r):
+        rd = dinv * r
+        z = rd / theta
+        d = z
+        rho = 1.0 / sigma1
+        for _ in range(1, degree):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            resid = rd - dinv * operator(z)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * resid
+            z = z + d
+            rho = rho_new
+        return z
 
     return apply

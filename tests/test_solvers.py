@@ -86,3 +86,20 @@ def test_block_jacobi_is_exact_blockdiag_inverse():
         B = blocks[:, :, k]
         assert np.allclose(B @ z[3 * k:3 * k + 3], r[3 * k:3 * k + 3],
                            atol=1e-8)
+
+
+def test_chebyshev_preconditioner_beats_jacobi(tet10):
+    """The TPU-first ILU-class option (solve/precond.py:
+    chebyshev_preconditioner): markedly fewer CG iterations than scalar
+    Jacobi on the reference's tet10 fixture, same solution."""
+    import numpy as np
+
+    from pfemfort_tpu.drivers.poisson import solve_poisson
+
+    mesh, dbc, _ = tet10
+    rj = solve_poisson(mesh, dbc, rtol=1e-10)
+    rc = solve_poisson(mesh, dbc, rtol=1e-10, precond="cheby")
+    assert bool(np.asarray(rc.stats.converged))
+    assert np.abs(rj.u_full - rc.u_full).max() < 1e-8
+    assert int(rc.stats.iters) < 0.7 * int(rj.stats.iters), (
+        int(rc.stats.iters), int(rj.stats.iters))
