@@ -236,12 +236,20 @@ def solve_implicit_sharded(
         jax.block_until_ready(b_s)
         t_asm = time.perf_counter() - t1
         sys_ = esetup.sys
+        from pfemfort_tpu.parallel.dist_ell import build_ell_halo
+        from pfemfort_tpu.parallel.shard_cg import distributed_cg_solve_ell
+        S, Prow, K = n_shards, sys_.rows_per_shard, esetup.ell_k
+        cols_local, send_rows, wx = build_ell_halo(esetup)
         cols_s = jax.device_put(
-            jnp.asarray(sys_.pattern.ell_cols),
+            jnp.asarray(cols_local.reshape(S * Prow, K)),
+            NamedSharding(device_mesh, P("shard", None)))
+        sr_s = jax.device_put(
+            jnp.asarray(send_rows.reshape(S * S, wx)),
             NamedSharding(device_mesh, P("shard", None)))
         t1 = time.perf_counter()
-        x, stats = distributed_cg_solve(device_mesh, cols_s, vals_s, b_s,
-                                        rtol=rtol, maxiter=maxiter)
+        x, stats = distributed_cg_solve_ell(
+            device_mesh, cols_s, vals_s, b_s, sr_s, wx,
+            rtol=rtol, maxiter=maxiter)
         x = jax.block_until_ready(x)
         t_solve = time.perf_counter() - t1
     else:

@@ -226,6 +226,74 @@ def build_dist_ell_setup(
         elem_owner=owner.astype(np.int32))
 
 
+def build_ell_halo(setup: DistELLSetup):
+    """Static ghost-exchange plan for the distributed ELL SpMV.
+
+    The all_gather form ships O(N) values per CG iteration; with an
+    element-partition the columns a shard actually reads from others are its
+    partition SURFACE.  Per (owner s -> reader t) pair we precompute the
+    unique requested columns; per iteration each shard gathers its requested
+    rows into a (S, Wx) window and ONE all_to_all delivers every ghost
+    value — the PETSc VecScatter of MatMult as a single collective.
+
+    Returns (cols_local (S, P, K) int32, send_rows (S, S, Wx) int32, Wx):
+      * cols_local: own columns -> [0, P); ghost columns -> P + s*Wx + slot;
+        padding -> P + S*Wx (a zero slot);
+      * send_rows[s, t, slot]: the local row (in s) whose x value shard t
+        wants at ghost slot `slot`.
+    """
+    sys_ = setup.sys
+    S, P, K = setup.n_shards, sys_.rows_per_shard, setup.ell_k
+    n_rows = sys_.n_rows_padded
+    cols = sys_.pattern.ell_cols.reshape(S, P, K).astype(np.int64)
+
+    per_t = []
+    wx = 1
+    for t in range(S):
+        c = cols[t]
+        ghost = (c != n_rows) & (c // P != t)
+        uniq = np.unique(c[ghost])                 # sorted: owner-major
+        owners = uniq // P
+        cnts = np.bincount(owners, minlength=S)
+        starts = np.zeros(S, dtype=np.int64)
+        np.cumsum(cnts[:-1], out=starts[1:])
+        per_t.append((c, ghost, uniq, owners, starts))
+        wx = max(wx, int(cnts.max(initial=0)))
+    wx = round_up(wx, 8)
+
+    cols_local = np.empty((S, P, K), dtype=np.int64)
+    send_rows = np.zeros((S, S, wx), dtype=np.int64)
+    pad_slot = P + S * wx
+    for t in range(S):
+        c, ghost, uniq, owners, starts = per_t[t]
+        slot_within = np.arange(len(uniq), dtype=np.int64) - starts[owners]
+        # send_rows is indexed [owner s][reader t][slot]
+        send_rows[owners, t, slot_within] = uniq % P
+        ghost_slot = P + owners * wx + slot_within
+        lut = dict(zip(uniq.tolist(), ghost_slot.tolist()))
+        out = np.where(c == n_rows, pad_slot, c - t * P)
+        gpos = np.nonzero(ghost)
+        out[gpos] = [lut[int(v)] for v in c[gpos]]
+        cols_local[t] = out
+    return (cols_local.astype(np.int32), send_rows.astype(np.int32),
+            int(wx))
+
+
+def spmv_ell_halo(vals_l, cols_local_l, send_rows_l, x_l, axis: str):
+    """y_l = (A x)_l with the pairwise ghost exchange (inside shard_map).
+
+    vals_l/cols_local_l (P, K); send_rows_l (S, Wx); x_l (P,).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    send = x_l[send_rows_l]                        # (S, Wx)
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    xg = jnp.concatenate([x_l, recv.reshape(-1),
+                          jnp.zeros((1,), dtype=x_l.dtype)])
+    return jnp.sum(vals_l * xg[cols_local_l], axis=1)
+
+
 def assemble_ell_local(Ke, Fe, perm, segids, recv_mat_dest, recv_rhs_dest,
                        P: int, K: int, w_mat: int, w_rhs: int, axis: str):
     """Per-shard ELL assembly + one-all_to_all ghost exchange (device-side).

@@ -155,6 +155,62 @@ def distributed_cg_solve(
     return jax.jit(mapped)(cols, vals, b)
 
 
+def distributed_cg_solve_ell(
+    device_mesh: JMesh,
+    cols_local: jax.Array,   # (n_rows_padded, K) int32 LOCAL ids (per shard)
+    vals: jax.Array,         # (n_rows_padded, K)
+    b: jax.Array,            # (n_rows_padded,)
+    send_rows: jax.Array,    # (S*S, Wx) int32, row-sharded over dim 0
+    wx: int,
+    rtol: float = 1e-8,
+    maxiter: int = 10_000,
+    axis: str = "shard",
+):
+    """Jacobi-CG over the unstructured per-shard ELL with the pairwise
+    ghost exchange (parallel/dist_ell.py:spmv_ell_halo): per-iteration comm
+    is ONE all_to_all of S*Wx surface values + the psum dots — O(partition
+    surface), not the all_gather's O(N)."""
+    from pfemfort_tpu.parallel.dist_ell import spmv_ell_halo
+
+    n_rows = cols_local.shape[0]
+    n_shards = device_mesh.devices.size
+    P_ = n_rows // n_shards
+
+    def body(cols_l, vals_l, send_rows_l, b_l):
+        def operator(x_l):
+            return spmv_ell_halo(vals_l, cols_l, send_rows_l, x_l, axis)
+
+        def local_diag():
+            rows = jnp.arange(P_, dtype=cols_l.dtype)[:, None]
+            return jnp.sum(jnp.where(cols_l == rows, vals_l, 0), axis=1)
+
+        def dot(a, c):
+            return jax.lax.psum(
+                jnp.dot(a, c, precision=jax.lax.Precision.HIGHEST), axis)
+
+        def dot2(a, c, d, e):
+            pair = jnp.stack([
+                jnp.dot(a, c, precision=jax.lax.Precision.HIGHEST),
+                jnp.dot(d, e, precision=jax.lax.Precision.HIGHEST)])
+            pair = jax.lax.psum(pair, axis)
+            return pair[0], pair[1]
+
+        x_l, stats = cg_solve(
+            operator, b_l,
+            precond=jacobi_preconditioner(local_diag()),
+            rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
+        return jax.lax.all_gather(x_l, axis, tiled=True), stats
+
+    mapped = jax.shard_map(
+        body,
+        mesh=device_mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)(cols_local, vals, send_rows, b)
+
+
 def distributed_cg_solve_dia(
     device_mesh: JMesh,
     offsets,               # static tuple of diagonal offsets

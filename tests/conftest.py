@@ -20,6 +20,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the suite's slow tail is XLA CPU compiles of the
+# big structured-assembly/multigrid graphs (e.g. the ndof=3 GMG test spends
+# ~100 s compiling and <5 s solving).  Caching makes every rerun start from
+# the second-run cost.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -81,6 +81,43 @@ def test_every_shard_owns_elements_and_ghosts_are_small():
     assert setup.w_rhs <= setup.rows_per_shard
 
 
+def test_ell_halo_spmv_matches_gather():
+    """The pairwise ghost-exchange SpMV (spmv_ell_halo) == the plain global
+    gather SpMV, and its exchange window is O(surface)."""
+    from jax.sharding import PartitionSpec as P
+    from pfemfort_tpu.parallel.dist_ell import build_ell_halo, spmv_ell_halo
+    from pfemfort_tpu.sparse.spmv import spmv_ell
+    from pfemfort_tpu.sparse.formats import ELLMatrix
+
+    dm = _mesh_or_skip(4)
+    mesh, dbc = _scrambled_box(6, 6, 10, seed=2)
+    setup = build_dist_ell_setup(mesh, 1, dbc, 4)
+    vals_s, _ = assemble_implicit_sharded_ell(setup, POISSON, dm,
+                                              jnp.float64)
+    sys_ = setup.sys
+    S, Prow, K = 4, sys_.rows_per_shard, setup.ell_k
+    cols_local, send_rows, wx = build_ell_halo(setup)
+    assert wx < Prow                      # surface, not volume
+
+    A = ELLMatrix(cols=jnp.asarray(sys_.pattern.ell_cols),
+                  vals=vals_s, n_cols=sys_.n_rows_padded)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=sys_.n_rows_padded))
+    y_ref = spmv_ell(A, x)
+
+    def body(vals_l, cols_l, sr_l, x_l):
+        return spmv_ell_halo(vals_l, cols_l, sr_l, x_l, "shard")
+
+    y = jax.jit(jax.shard_map(
+        body, mesh=dm,
+        in_specs=(P("shard", None),) * 3 + (P("shard"),),
+        out_specs=P("shard")))(
+        vals_s, jnp.asarray(cols_local.reshape(S * Prow, K)),
+        jnp.asarray(send_rows.reshape(S * S, wx)), x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-12)
+
+
 @pytest.mark.parametrize("n_shards", [2, 8])
 def test_solve_matches_single_device(n_shards, tet10):
     dm = _mesh_or_skip(n_shards)
