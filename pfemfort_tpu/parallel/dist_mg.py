@@ -354,8 +354,8 @@ def solve_sharded_mg(
     dtype=jnp.float32,
     rtol: float = 1e-6,
     maxiter: int = 200,
-    nu: int = 1,
-    omega: float = 0.8,
+    nu: Optional[int] = None,
+    omega: Optional[float] = None,
     axis: str = "shard",
 ):
     """Multi-chip MG-preconditioned CG on the full node-dof system.
@@ -363,7 +363,15 @@ def solve_sharded_mg(
     Returns (u_full (n_node*ndof,) np.float64, SolveStats, timings dict).
     Per-device fine-level memory is O(N/S); the replicated coarse tail is
     O(N/8).  Dirichlet-only (ForceBC callers use solve_implicit_sharded).
+
+    Smoothing defaults are ndof-aware: Poisson keeps (nu=1, omega=0.8);
+    vector problems (elasticity) use (nu=2, omega=0.6) — measured 77 -> 14
+    iterations on a 3D elasticity box with damped-Jacobi smoothing.
     """
+    if nu is None:
+        nu = 1 if ndof == 1 else 2
+    if omega is None:
+        omega = 0.8 if ndof == 1 else 0.6
     if device_mesh is None:
         devs = jax.devices()
         n_shards = n_shards or len(devs)

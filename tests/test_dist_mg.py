@@ -60,6 +60,34 @@ def test_dist_mg_mesh_independent_iterations():
     assert iters[1] <= iters[0] + 4, iters
 
 
+def test_dist_mg_elasticity_linear_field():
+    """ndof=3: a linear displacement field imposed on every boundary node
+    is exactly representable — the distributed MG-CG must reproduce it, and
+    the ndof-aware smoothing (nu=2, omega=0.6) keeps iterations low."""
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.elements.elasticity import dmat_3d, elasticity_stiffness
+
+    dm = _mesh_or_skip(4)
+    mesh, _ = generate.box_tet(0, 1, 6, 0, 1, 6, 0, 1, 8)
+    bnodes = generate.boundary_nodes(mesh)
+    U = lambda X: np.stack([0.1 * X[:, 0],
+                            0.05 * X[:, 1] + 0.02 * X[:, 0],
+                            -0.03 * X[:, 2]], axis=1)
+    ub = U(mesh.coords[bnodes])
+    dbc = np.concatenate([
+        np.stack([bnodes, np.full(len(bnodes), d), ub[:, d]], axis=1)
+        for d in range(3)])
+    efn = lambda c: elasticity_stiffness(c, "tetra4", dmat_3d(210.0, 0.3))
+    u, stats, _ = solve_sharded_mg(mesh, 3, dbc, efn, device_mesh=dm,
+                                   rtol=1e-9, maxiter=40,
+                                   dtype=jnp.float64)
+    assert bool(np.asarray(stats.converged)), stats
+    assert int(np.asarray(stats.iters)) <= 25, stats
+    ue = U(mesh.coords).reshape(-1)
+    assert np.abs(np.asarray(u) - ue).max() < 1e-9
+
+
 def test_driver_routes_precond_mg():
     """solve_implicit_sharded(precond='mg') must reach the distributed MG
     (VERDICT r2: dist_mg.py had zero call sites)."""
