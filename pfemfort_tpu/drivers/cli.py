@@ -96,7 +96,8 @@ def cmd_poisson(args):
                             precond=args.precond, refine=args.refine,
                             matrix_free=args.matrix_free)
     _report(mesh, 1, res, t0)
-    _write_output(args, mesh, 1, res.u_full)
+    _write_output(args, mesh, 1, res.u_full,
+                  elem_procid=getattr(res, "elem_part", None))
     return 0 if res.stats.converged else 1
 
 
@@ -129,7 +130,8 @@ def cmd_elasticity(args):
             bforce=None, plane=args.plane, rtol=args.rtol,
             method=args.ksp, refine=args.refine)
     _report(mesh, mesh.ndim, res, t0)
-    _write_output(args, mesh, mesh.ndim, res.u_full)
+    _write_output(args, mesh, mesh.ndim, res.u_full,
+                  elem_procid=getattr(res, "elem_part", None))
     return 0 if res.stats.converged else 1
 
 

@@ -37,6 +37,9 @@ class ImplicitResult(NamedTuple):
     u_reduced: jax.Array      # (total_dof,) device solution
     stats: SolveStats
     timings: dict
+    # element partition of a sharded solve (the reference's elem_procid
+    # cell field, writervtk.F:169-174); None for single-device solves
+    elem_part: Optional[np.ndarray] = None
 
 
 def build_reduced_assembler(mesh, ndof, dofmap, element_fn, dtype):

@@ -9,9 +9,12 @@ reduction replacing the PETSc MatAssembly stash exchange, and distributed CG
 replaces KSPSolve over MPI.  Full-size coords/Ke/A never materialize on any
 single device.
 
-Falls back to replicated assembly + the all_gather ELL solve when the
-pattern is not DIA-structured (genuinely unstructured numbering) or the
-matrix bandwidth exceeds a shard (tiny meshes).
+Route selection: DIA per-shard assembly (lattice-structured patterns) ->
+unstructured per-shard ELL with the all_to_all stash exchange
+(parallel/dist_ell.py, any mesh) -> replicated assembly only if both
+builders raise (exception corner cases).  precond="mg" routes to the
+distributed geometric multigrid (parallel/dist_mg.py) on coarsenable
+lattices.
 """
 
 from __future__ import annotations
@@ -270,6 +273,9 @@ def solve_implicit_sharded(
                      solve_s=t_solve,
                      assembly_layout=layout,
                      distributed_assembly=layout in ("dia", "ell")),
+        elem_part=(setup.elem_owner if setup is not None else
+                   esetup.elem_owner if esetup is not None else
+                   sys_.elem_part),
     )
 
 
