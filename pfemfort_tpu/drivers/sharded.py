@@ -174,6 +174,7 @@ def solve_implicit_sharded(
     maxiter: int = 10_000,
     partition_method: str = "slab",
     precond: str = "jacobi",
+    recover: bool = True,
 ) -> ImplicitResult:
     if dtype is None:
         dtype = jnp.zeros(0).dtype
@@ -183,6 +184,30 @@ def solve_implicit_sharded(
         device_mesh = jax.sharding.Mesh(
             np.array(devs[:n_shards]), ("shard",))
     n_shards = device_mesh.devices.size
+
+    if recover and mesh.structure is None:
+        # geometric structure recovery (mesh/reorder.py): a permuted lattice
+        # mesh renumbers back to the DIA census, unlocking the faster
+        # per-shard DIA assembly + lattice-stencil halo CG; the solution is
+        # mapped back to the caller's numbering
+        from pfemfort_tpu.mesh.reorder import recover_structure
+
+        rec = recover_structure(mesh, ndof, dirichlet, force_bc)
+        if rec is not None:
+            mesh2, dbc2, fbc2, perm, dofmap0 = rec
+            res = solve_implicit_sharded(
+                mesh2, ndof, dbc2, element_fn, device_mesh=device_mesh,
+                force_bc=fbc2, dtype=dtype, rtol=rtol, maxiter=maxiter,
+                partition_method=partition_method, precond=precond,
+                recover=False)
+            u_full = res.u_full.reshape(mesh.n_node, ndof)[perm].reshape(-1)
+            return ImplicitResult(
+                u_full=u_full,
+                u_reduced=jnp.asarray(u_full[dofmap0.assy_for_soln]),
+                stats=res.stats,
+                timings=dict(res.timings, structure_recovered=True),
+                elem_part=res.elem_part,
+            )
 
     if precond == "mg":
         # distributed geometric multigrid (the PETSc options-file AMG escape

@@ -127,7 +127,7 @@ def test_unstructured_routes_to_dist_ell():
     dbc = dbc.copy()
     dbc[:, 0] = perm[dbc[:, 0].astype(np.int64)]
     res = solve_implicit_sharded(mesh, 1, dbc, _element_fn(),
-                                 device_mesh=dm, rtol=1e-10)
+                                 device_mesh=dm, rtol=1e-10, recover=False)
     ref = solve_poisson(mesh, dbc, rtol=1e-10)
     assert res.timings["assembly_layout"] == "ell", res.timings
     assert res.timings["distributed_assembly"]

@@ -152,8 +152,10 @@ def test_beam_elasticity_with_force_bc(beam3d, scramble):
     from pfemfort_tpu.drivers.elasticity import solve_elasticity
     ref = solve_elasticity(mesh, dbc, E_, nu_, force_bc=fbc, rtol=1e-11)
 
+    # recover=False pins the general ELL route (recovery would renumber
+    # the scrambled mesh back to a DIA-able ordering)
     res = solve_implicit_sharded(mesh, 3, dbc, efn, device_mesh=dm,
-                                 force_bc=fbc, rtol=1e-11)
+                                 force_bc=fbc, rtol=1e-11, recover=False)
     if scramble:
         assert res.timings["assembly_layout"] == "ell", res.timings
     assert res.timings["distributed_assembly"], res.timings
