@@ -513,10 +513,10 @@ def unstructured_stage(n: int, detail: dict):
     _log(f"[unstr] scatter assembly {best*1e3:.0f}ms -> {eps/1e6:.1f}M "
          f"elems/s")
 
-    # gather-ELL SpMV (the honest unstructured-SpMV number)
+    # naive gather-ELL SpMV (the XLA scalar-unit baseline)
     x = jnp.ones((N,), dtype=dtype)
     ell_bytes = (2 * K * N + 2 * N) * 4   # vals + cols + x + y streams
-    iters = 200
+    iters = 50
 
     @jax.jit
     def chain_spmv(vals, x):
@@ -525,30 +525,68 @@ def unstructured_stage(n: int, detail: dict):
         return jax.lax.fori_loop(0, iters, body, x)
     t0 = time.perf_counter()
     _sync(chain_spmv(A.vals, x))
-    _log(f"[unstr] ell spmv compile {time.perf_counter()-t0:.1f}s")
+    _log(f"[unstr] xla ell spmv compile {time.perf_counter()-t0:.1f}s")
+    best_xla = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sync(chain_spmv(A.vals, x))
+        best_xla = min(best_xla, (time.perf_counter() - t0 - rt) / iters)
+    xla_gbps = ell_bytes / best_xla / 1e9
+    _log(f"[unstr] xla ell spmv {best_xla*1e6:.0f}us, model {xla_gbps:.0f} "
+         f"GB/s ({100*xla_gbps/peak:.0f}% peak), "
+         f"{nnz/best_xla/1e9:.2f} Gnnz/s")
+
+    # slot-gather Pallas SpMV (the production unstructured kernel,
+    # sparse/slotgather.py): RCM reorder + windowed two-stage gather
+    from pfemfort_tpu.sparse import slotgather as sgm
+    t0 = time.perf_counter()
+    order = sgm.rcm_order(pattern.indptr, pattern.indices, pattern.n_rows)
+    plan = sgm.build_slotgather_plan(pattern.ell_cols, pattern.n_rows,
+                                    order=order)
+    P = sgm.prepare_slotgather(plan)
+    ord_d = jnp.asarray(plan.order)
+    inv_d = jnp.asarray(plan.inv_order)
+    t_sgplan = time.perf_counter() - t0
+    _log(f"[unstr] sg plan {t_sgplan:.1f}s  V={plan.V} G={plan.G}")
+    sg_iters = 400
+
+    @jax.jit
+    def chain_sg(P, vals, x):
+        valsv = sgm.pack_values(P, vals)
+        def body(i, x):
+            return sgm.apply_slotgather(P, valsv, x) * 0.999
+        return jax.lax.fori_loop(0, sg_iters, body, x)
+    t0 = time.perf_counter()
+    _sync(chain_sg(P, A.vals, x))
+    _log(f"[unstr] sg spmv compile {time.perf_counter()-t0:.1f}s")
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _sync(chain_spmv(A.vals, x))
-        best = min(best, (time.perf_counter() - t0 - rt) / iters)
+        _sync(chain_sg(P, A.vals, x))
+        best = min(best, (time.perf_counter() - t0 - rt) / sg_iters)
     ell_gbps = ell_bytes / best / 1e9
-    _log(f"[unstr] ell spmv {best*1e6:.0f}us, model {ell_gbps:.0f} GB/s "
-         f"({100*ell_gbps/peak:.0f}% peak), {nnz/best/1e9:.2f} Gnnz/s")
+    _log(f"[unstr] sg spmv {best*1e6:.0f}us, model {ell_gbps:.0f} GB/s "
+         f"({100*ell_gbps/peak:.0f}% peak), {nnz/best/1e9:.2f} Gnnz/s, "
+         f"{ell_gbps/xla_gbps:.0f}x the XLA gather")
 
-    # Jacobi-CG on the gather-ELL operator
+    # Jacobi-CG through the slot-gather operator (RCM-permuted space)
     @jax.jit
-    def solve(vals, b):
+    def solve(P, vals, b, ord_d, inv_d):
         Ae = A._replace(vals=vals)
-        return cg_solve(lambda v: spmv_ell(Ae, v), b,
-                        precond=jacobi_preconditioner(extract_diagonal(Ae)),
-                        rtol=1e-6, maxiter=5000)
-    u, stats = solve(A.vals, b)
+        valsv = sgm.pack_values(P, vals)
+        diag = extract_diagonal(Ae)[ord_d]
+        op = lambda v: sgm.apply_slotgather(P, valsv, v)
+        u_p, st = cg_solve(op, b[ord_d],
+                           precond=jacobi_preconditioner(diag),
+                           rtol=1e-6, maxiter=5000)
+        return u_p[inv_d], st
+    u, stats = solve(P, A.vals, b, ord_d, inv_d)
     _sync(u)
     t0 = time.perf_counter()
-    u, stats = solve(A.vals, b)
+    u, stats = solve(P, A.vals, b, ord_d, inv_d)
     _sync(u)
     t_solve = max(time.perf_counter() - t0 - rt, 1e-9)
-    _log(f"[unstr] ell cg {t_solve:.2f}s, {int(np.asarray(stats.iters))} "
+    _log(f"[unstr] sg cg {t_solve:.2f}s, {int(np.asarray(stats.iters))} "
          f"iters")
 
     # geometric structure recovery: same problem, DIA numbering restored
@@ -571,6 +609,10 @@ def unstructured_stage(n: int, detail: dict):
         "spmv_ell_gbps": float(ell_gbps),
         "spmv_ell_pct_peak": float(100 * ell_gbps / peak),
         "spmv_ell_nnz_per_s": float(nnz / best),
+        "spmv_ell_xla_gbps": float(xla_gbps),
+        "sg_plan_s": float(t_sgplan),
+        "sg_V": int(plan.V),
+        "sg_G": int(plan.G),
         "cg_iters": int(np.asarray(stats.iters)),
         "cg_solve_s": float(t_solve),
         "recovered_solve_s": float(t_rec),

@@ -115,6 +115,7 @@ def build_reduced_assembler(mesh, ndof, dofmap, element_fn, dtype):
                          pattern)
         return A, b
 
+    assemble.pattern = pattern
     return assemble, time.perf_counter() - t0
 
 
@@ -203,6 +204,43 @@ def solve_implicit(
     solver = {"cg": cg_solve, "bicgstab": bicgstab_solve,
               "gmres": gmres_solve}[method]
 
+    # Unstructured (ELL) meshes on a real TPU: solve in an RCM-reordered
+    # space through the slot-gather Pallas SpMV (sparse/slotgather.py) —
+    # the XLA lowering of the ELL gather runs on the scalar unit at
+    # ~0.9 GB/s, two orders of magnitude below this kernel.
+    pattern = getattr(assemble_reduced, "pattern", None)
+    sg = None
+    if (pattern is not None and pattern.layout == "ell"
+            and dtype == jnp.float32):
+        from pfemfort_tpu.sparse import slotgather as sgm
+
+        if sgm.slotgather_supported(pattern.n_rows):
+            order = sgm.rcm_order(pattern.indptr, pattern.indices,
+                                  pattern.n_rows)
+            plan = sgm.build_slotgather_plan(
+                pattern.ell_cols, pattern.n_rows, order=order)
+            sg = (sgm.prepare_slotgather(plan),
+                  jnp.asarray(plan.order), jnp.asarray(plan.inv_order))
+
+    @jax.jit
+    def assemble_and_solve_sg(coords_em, fvec, P, ord_d, inv_d):
+        from pfemfort_tpu.sparse import slotgather as sgm
+        from pfemfort_tpu.sparse.spmv import extract_diagonal
+
+        A, b = assemble_reduced(coords_em)
+        b = (b + fvec)[ord_d]
+        diag = extract_diagonal(A)[ord_d]
+        valsv = sgm.pack_values(P, A.vals)
+        operator = lambda v: sgm.apply_slotgather(P, valsv, v)
+        if precond == "cheby":
+            from pfemfort_tpu.solve.precond import chebyshev_preconditioner
+            pre = chebyshev_preconditioner(operator, diag)
+        else:
+            pre = jacobi_preconditioner(diag)
+        u_p, stats = solver(operator, b, precond=pre, rtol=rtol,
+                            atol=atol, maxiter=maxiter)
+        return u_p[inv_d], stats
+
     @jax.jit
     def assemble_and_solve(coords_em, fvec):
         A, b = assemble_reduced(coords_em)
@@ -227,7 +265,10 @@ def solve_implicit(
         return u, stats
 
     t1 = time.perf_counter()
-    u, stats = assemble_and_solve(coords_em, fvec)
+    if sg is not None:
+        u, stats = assemble_and_solve_sg(coords_em, fvec, *sg)
+    else:
+        u, stats = assemble_and_solve(coords_em, fvec)
     u = jax.block_until_ready(u)
     t_solve = time.perf_counter() - t1
 
@@ -236,7 +277,8 @@ def solve_implicit(
         u_full=u_full,
         u_reduced=u,
         stats=jax.tree.map(lambda a: np.asarray(a), stats),
-        timings=dict(pattern_s=t_pattern, solve_s=t_solve),
+        timings=dict(pattern_s=t_pattern, solve_s=t_solve,
+                     slotgather=sg is not None),
     )
 
 

@@ -1,0 +1,350 @@
+"""Windowed slot-gather ELL SpMV — the TPU-native unstructured-matrix kernel.
+
+The reference's PETSc MatMult (/root/reference/src/solverpetsc.F:476) is
+format-agnostic CSR; on TPU an arbitrary per-element gather runs on the
+scalar unit (~0.9 GB/s measured for the XLA lowering of `x[cols]`).  This
+module reaches two orders of magnitude more by decomposing the gather into
+the two primitives Mosaic actually vectorizes:
+
+  * an 8-row sublane gather (`take_along_axis(..., axis=0)` on an (8,128)
+    tile), and
+  * a 128-lane lane gather (`take_along_axis(..., axis=1)`).
+
+Construction (host, once per sparsity pattern):
+
+  1. Rows are processed in tiles of 128 (the lane dimension).  Each
+     nonzero's column c is split as (c // 128, c % 128) = (x-row, lane).
+  2. Per tile, nonzeros are re-packed into V "virtual rows": virtual row v
+     holds, for each lane r (= matrix row within the tile), at most one
+     nonzero whose column lies in ONE aligned 128-block of x.  Because a
+     fill-reducing ordering (RCM / geometric) makes FEM matrices banded,
+     V stays near the ELL slot count K instead of exploding.
+  3. Virtual rows are sorted by x-block and chunked into groups of <= 8
+     sharing one aligned 1024-element x window, so the kernel stages each
+     group with a single 8-row sublane gather (row selectors packed as
+     8x4-bit nibbles in one scalar).
+
+SpMV per tile then is: for each group, one dynamic (8,128) window load, one
+sublane gather, then one lane gather over the tile's (V,128) staging buffer
+and a fused multiply-reduce.  x stays VMEM-resident for the whole sweep.
+
+The kernel requires a bandwidth-reducing row ordering to be effective; use
+`rcm_order` (scipy) or any locality-preserving permutation and solve in the
+permuted space (permute b once, un-permute u once — never per iteration).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+# ---------------------------------------------------------------------------
+# host-side plan
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SlotGatherPlan:
+    """Static re-packing of an ELL pattern for the Pallas kernel (host)."""
+    n_rows: int
+    T: int                    # row tiles of 128
+    V: int                    # virtual rows per tile (multiple of 8)
+    G: int                    # staging groups per tile
+    qsel: np.ndarray          # (T, G) int32 — aligned 8-row x-window index
+    vstart: np.ndarray        # (T, G) int32 — first virtual row of the group
+    rsel: np.ndarray          # (T, G) int32 — packed 8x4-bit row selectors
+    eps: np.ndarray           # (T, V, 128) int32 — lane within the x window
+    src: np.ndarray           # (T, V, 128) int64 — flat index into vals(N*K)
+    #                           or -1 for empty slots
+    order: Optional[np.ndarray] = None   # row ordering the plan was built in
+    inv_order: Optional[np.ndarray] = None
+
+    @property
+    def n_rows_padded(self) -> int:
+        return self.T * LANES
+
+
+def rcm_order(indptr: np.ndarray, indices: np.ndarray,
+              n_rows: int) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering of the pattern graph (scipy)."""
+    import scipy.sparse as ssp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    A = ssp.csr_matrix((np.ones(len(indices), np.float32),
+                        indices, indptr), shape=(n_rows, n_rows))
+    return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True),
+                      dtype=np.int64)
+
+
+def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
+                          order: Optional[np.ndarray] = None,
+                          sub: int = 8) -> SlotGatherPlan:
+    """Build the plan from padded-ELL columns (sentinel >= n_rows).
+
+    `order`: optional bandwidth-reducing row permutation (new-from-old, as
+    returned by `rcm_order`); the plan, and every SpMV through it, then
+    lives in the permuted space.  `src` composes the permutation, so
+    `vals.reshape(-1)[src]` re-packs UN-permuted ELL values directly.
+    """
+    N, K = ell_cols.shape
+    cols = ell_cols.astype(np.int64)
+    inv = None
+    if order is not None:
+        inv = np.empty(N, np.int64)
+        inv[order] = np.arange(N)
+        sent = cols >= n_rows
+        cols = np.where(sent, 2 * n_rows + LANES,
+                        inv[np.clip(cols, 0, N - 1)])
+        cols = cols[order]
+        slot_order = np.argsort(cols, axis=1, kind="stable")
+        cols = np.take_along_axis(cols, slot_order, axis=1)
+        src_of_slot = (order[:, None] * K + slot_order)
+    else:
+        src_of_slot = (np.arange(N, dtype=np.int64)[:, None] * K
+                       + np.arange(K, dtype=np.int64)[None, :])
+
+    T = -(-N // (LANES * sub)) * sub
+    r_full = np.repeat(np.arange(N, dtype=np.int64), K)
+    k_full = np.tile(np.arange(K, dtype=np.int64), N)
+    c_full = cols.reshape(-1)
+    valid = c_full < n_rows
+    r = r_full[valid]
+    k = k_full[valid]
+    c = c_full[valid]
+    src = src_of_slot.reshape(-1)[valid]
+
+    t = r // LANES
+    lane = r % LANES
+    b = c // LANES
+    epsv = c % LANES
+
+    # j = index of the entry within its (row, 128-block) run (cols ascend
+    # per row, so runs are consecutive in flat (r, k) order)
+    start = np.ones(len(r), dtype=bool)
+    start[1:] = (r[1:] != r[:-1]) | (b[1:] != b[:-1])
+    gid = np.cumsum(start) - 1
+    j = k - k[start][gid]
+
+    # virtual-row key (t, b, j) -> dense per-tile id, ordered by (b, j) so
+    # same-window rows are consecutive
+    o = np.lexsort((j, b, t))
+    ts, bs, js = t[o], b[o], j[o]
+    new = np.ones(len(o), dtype=bool)
+    new[1:] = (ts[1:] != ts[:-1]) | (bs[1:] != bs[:-1]) | (js[1:] != js[:-1])
+    vkey = np.cumsum(new) - 1
+    tile_of_v = ts[new]
+    first = np.ones(len(tile_of_v), dtype=bool)
+    first[1:] = tile_of_v[1:] != tile_of_v[:-1]
+    first_v_of_tile = np.zeros(T, dtype=np.int64)
+    first_v_of_tile[tile_of_v[first]] = np.nonzero(first)[0]
+    vloc = vkey - first_v_of_tile[ts]
+
+    nv = np.zeros(T, dtype=np.int64)
+    np.maximum.at(nv, ts, vloc + 1)
+    V = int(-(-max(int(nv.max(initial=1)), 1) // 8) * 8)
+
+    epsA = np.zeros((T, V, LANES), dtype=np.int32)
+    srcA = np.full((T, V, LANES), -1, dtype=np.int64)
+    epsA[ts, vloc, lane[o]] = epsv[o].astype(np.int32)
+    srcA[ts, vloc, lane[o]] = src[o]
+
+    # per-virtual-row x-row ids (b of the window each v reads)
+    win = np.zeros((T, V), dtype=np.int64)
+    win[ts[new], vloc[new]] = bs[new]
+    # pad rows: replicate the previous row's window so groups stay dense
+    vused = np.zeros((T, V), dtype=bool)
+    vused[ts[new], vloc[new]] = True
+    for v in range(1, V):
+        fill = ~vused[:, v]
+        win[fill, v] = win[fill, v - 1]
+        vused[fill, v] = True
+
+    # groups: runs of equal q = win // 8, capped at 8 rows
+    q = win // 8
+    rr = (win % 8).astype(np.int64)
+    brk = np.ones((T, V), dtype=bool)
+    brk[:, 1:] = q[:, 1:] != q[:, :-1]
+    # cap runs at 8: position within run
+    run_id = np.cumsum(brk.reshape(-1)) - 1
+    flat_pos = np.arange(T * V, dtype=np.int64)
+    run_first = np.zeros(run_id[-1] + 1, dtype=np.int64)
+    rstart = brk.reshape(-1)
+    run_first[run_id[rstart]] = flat_pos[rstart]
+    p = flat_pos - run_first[run_id]
+    gbrk = rstart | ((p > 0) & (p % 8 == 0))
+    gidf = np.cumsum(gbrk) - 1
+    g_first = flat_pos[gbrk]
+    # per-tile group index
+    g_tile = g_first // V
+    gfirst_tile = np.ones(len(g_first), dtype=bool)
+    gfirst_tile[1:] = g_tile[1:] != g_tile[:-1]
+    first_g_of_tile = np.zeros(T, dtype=np.int64)
+    first_g_of_tile[g_tile[gfirst_tile]] = np.nonzero(gfirst_tile)[0]
+    gloc = gidf - first_g_of_tile[flat_pos // V]
+    G = int(gloc.max()) + 1
+
+    qsel = np.zeros((T, G), dtype=np.int32)
+    vstart = np.zeros((T, G), dtype=np.int32)
+    rsel_u = np.zeros((T, G), dtype=np.uint64)
+    tf = (g_first // V)
+    qsel[tf, gloc[gbrk]] = q.reshape(-1)[g_first].astype(np.int32)
+    vstart[tf, gloc[gbrk]] = (g_first % V).astype(np.int32)
+    a = p % 8
+    np.add.at(rsel_u, (flat_pos // V, gloc),
+              (rr.reshape(-1).astype(np.uint64) << (4 * a.astype(np.uint64))))
+    # pad groups: point unused groups at group 0's window with vstart
+    # = V (writes land in the scratch pad rows and are never read)
+    used_g = np.zeros((T, G), dtype=bool)
+    used_g[tf, gloc[gbrk]] = True
+    qsel[~used_g] = 0
+    vstart[~used_g] = V
+    rsel = rsel_u.astype(np.uint32).view(np.int32).reshape(T, G)
+
+    return SlotGatherPlan(n_rows=n_rows, T=T, V=V, G=G,
+                          qsel=qsel, vstart=vstart, rsel=rsel,
+                          eps=epsA, src=srcA,
+                          order=order, inv_order=inv)
+
+
+# ---------------------------------------------------------------------------
+# reference executor (numpy/XLA semantics of the plan; used by CPU tests)
+# ---------------------------------------------------------------------------
+
+def apply_slotgather_reference(plan: SlotGatherPlan, valsv: np.ndarray,
+                               x: np.ndarray) -> np.ndarray:
+    """y = A x from the plan arrays alone (validates the re-packing)."""
+    xp = np.zeros(plan.T * LANES, dtype=x.dtype)
+    xp[:plan.n_rows] = x[:plan.n_rows]
+    x2d = xp.reshape(-1, LANES)
+    win = np.zeros((plan.T, plan.V), dtype=np.int64)
+    for g in range(plan.G):
+        sel = plan.rsel[:, g].view(np.uint32).astype(np.uint64)
+        for a in range(8):
+            v = plan.vstart[:, g] + a
+            ok = v < plan.V
+            rws = ((sel >> np.uint64(4 * a)) & np.uint64(0xF)).astype(np.int64)
+            win[np.nonzero(ok)[0], v[ok]] = (
+                plan.qsel[ok, g].astype(np.int64) * 8 + rws[ok])
+    rows = np.clip(win, 0, x2d.shape[0] - 1)
+    gat = x2d[rows[:, :, None],
+              plan.eps.astype(np.int64)]          # (T, V, 128)
+    y = (valsv * gat).sum(axis=1).reshape(-1)
+    return y[:plan.n_rows]
+
+
+# ---------------------------------------------------------------------------
+# device-side staging
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PallasSlotGather:
+    """Device-resident plan, ready for `pack_values` + `apply_slotgather`.
+
+    A pytree — pass it INTO jit as an argument (the eps/src planes are tens
+    of MB; baking them in as jaxpr constants would re-ship them with every
+    compile through the remote-compile tunnel)."""
+    qsel: jax.Array             # (T, G) i32
+    vstart: jax.Array           # (T, G) i32
+    rsel: jax.Array             # (T, G) i32 (packed nibbles)
+    eps: jax.Array              # (T, V, 128) i32
+    src: jax.Array              # (T, V, 128) i32, -1 = empty slot
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    T: int = dataclasses.field(metadata=dict(static=True))
+    V: int = dataclasses.field(metadata=dict(static=True))
+    G: int = dataclasses.field(metadata=dict(static=True))
+    sub: int = dataclasses.field(metadata=dict(static=True))
+
+
+def prepare_slotgather(plan: SlotGatherPlan, sub: int = 8) -> PallasSlotGather:
+    """Move the plan to the device once (values are packed separately per
+    assembly via `pack_values`)."""
+    if plan.src.size and plan.src.max(initial=0) >= 2**31:
+        raise ValueError("slot-gather plan exceeds int32 source indexing")
+    return PallasSlotGather(
+        qsel=jnp.asarray(plan.qsel), vstart=jnp.asarray(plan.vstart),
+        rsel=jnp.asarray(plan.rsel), eps=jnp.asarray(plan.eps),
+        src=jnp.asarray(plan.src.astype(np.int32)),
+        n_rows=plan.n_rows, T=plan.T, V=plan.V, G=plan.G, sub=sub)
+
+
+def pack_values(P: PallasSlotGather, vals) -> jnp.ndarray:
+    """(N, K) ELL values -> (T, V, 128) kernel value stream.
+
+    One device gather per assembly (not per SpMV); amortized over the
+    solve exactly like prepare_dia_pallas's value pad."""
+    mask = (P.src >= 0).astype(vals.dtype)
+    return jnp.reshape(vals, (-1,))[jnp.clip(P.src, 0, None)] * mask
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(qsel_ref, vst_ref, rsel_ref, eps_ref, valsv_ref, x_ref, y_ref,
+            xw, *, V, G, sub):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    for i in range(sub):
+        for g in range(G):
+            q = qsel_ref[i, g]
+            v0 = vst_ref[i, g]
+            sel = rsel_ref[i, g]
+            xq = x_ref[q]
+            idx = jax.lax.shift_right_logical(sel, 4 * iota) & 0xF
+            t1 = jnp.take_along_axis(xq, idx, axis=0)
+            xw[pl.ds(v0, 8), :] = t1
+        gat = jnp.take_along_axis(xw[:V], eps_ref[i], axis=1)
+        y_ref[i:i + 1, :] = jnp.sum(valsv_ref[i] * gat, axis=0,
+                                    keepdims=True)
+
+
+def apply_slotgather(P: PallasSlotGather, valsv: jnp.ndarray,
+                     x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x (x length n_rows; returns n_rows).  `valsv` from
+    `pack_values`."""
+    n, T, V, G, sub = P.n_rows, P.T, P.V, P.G, P.sub
+    npad = T * LANES
+    if x.shape[0] != npad:
+        x = jnp.concatenate([x, jnp.zeros((npad - x.shape[0],), x.dtype)])
+    x3d = x.reshape(-1, 8, LANES)
+    Rq = x3d.shape[0]
+    y = pl.pallas_call(
+        functools.partial(_kernel, V=V, G=G, sub=sub),
+        grid=(T // sub,),
+        in_specs=[
+            pl.BlockSpec((sub, G), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((sub, G), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((sub, G), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((sub, V, LANES), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, V, LANES), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rq, 8, LANES), lambda g: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sub, LANES), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, LANES), x.dtype),
+        scratch_shapes=[pltpu.VMEM((V + 8, LANES), x.dtype)],
+    )(P.qsel, P.vstart, P.rsel, P.eps,
+      valsv.reshape(T, V, LANES), x3d)
+    return y.reshape(-1)[:n]
+
+
+def slotgather_supported(n_rows: int, max_rows: int = 1 << 21) -> bool:
+    """Gate: real TPU backend and x fits VMEM-resident (f32)."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return n_rows <= max_rows

@@ -112,9 +112,19 @@ def _build_native_lib():
 
     if not native.available():
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        subprocess.run(["make", "-C",
-                        os.path.join(root, "pfemfort_tpu", "native")],
-                       check=False, capture_output=True)
+        # xdist workers build concurrently on a cold checkout — serialize
+        lock_path = os.path.join(root, ".native_build.lock")
+        import fcntl
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if not native.available():
+                    subprocess.run(
+                        ["make", "-C",
+                         os.path.join(root, "pfemfort_tpu", "native")],
+                        check=False, capture_output=True)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 _build_native_lib()

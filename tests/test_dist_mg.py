@@ -69,7 +69,7 @@ def test_dist_mg_elasticity_linear_field():
     from pfemfort_tpu.elements.elasticity import dmat_3d, elasticity_stiffness
 
     dm = _mesh_or_skip(4)
-    mesh, _ = generate.box_tet(0, 1, 6, 0, 1, 6, 0, 1, 8)
+    mesh, _ = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 8)
     bnodes = generate.boundary_nodes(mesh)
     U = lambda X: np.stack([0.1 * X[:, 0],
                             0.05 * X[:, 1] + 0.02 * X[:, 0],
