@@ -136,6 +136,43 @@ def box_tet_coords_em(x0, x1, nex, y0, y1, ney, z0, z1, nez,
     return out
 
 
+def box_tet_coords_em_device(x0, x1, nex, y0, y1, ney, z0, z1, nez,
+                             dtype=None):
+    """Device-side `box_tet_coords_em`: pure iota arithmetic, jittable.
+
+    Lattice coordinates are affine in the cell index, so the whole
+    (4, 3, E) tensor is broadcasted multiply-adds of three iotas — no host
+    build, no 2.3 GB host->device transfer at the 48M-element scale (which
+    dominated the flagship bench's host setup).  Values differ from the
+    numpy linspace build by <=1 ulp of f32 rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float32
+    hx = (x1 - x0) / nex
+    hy = (y1 - y0) / ney
+    hz = (z1 - z0) / nez
+    shape = (nez, ney, nex, 6)
+    kk = jax.lax.broadcasted_iota(dtype, shape, 0)
+    jj = jax.lax.broadcasted_iota(dtype, shape, 1)
+    ii = jax.lax.broadcasted_iota(dtype, shape, 2)
+    rows = []
+    for i in range(4):
+        bx = jnp.asarray([(int(_TET_SPLIT[c, i]) >> 0) & 1
+                          for c in range(6)], dtype)
+        by = jnp.asarray([(int(_TET_SPLIT[c, i]) >> 1) & 1
+                          for c in range(6)], dtype)
+        bz = jnp.asarray([(int(_TET_SPLIT[c, i]) >> 2) & 1
+                          for c in range(6)], dtype)
+        rows.append(jnp.stack([
+            jnp.asarray(x0, dtype) + jnp.asarray(hx, dtype) * (ii + bx),
+            jnp.asarray(y0, dtype) + jnp.asarray(hy, dtype) * (jj + by),
+            jnp.asarray(z0, dtype) + jnp.asarray(hz, dtype) * (kk + bz),
+        ]))
+    return jnp.stack(rows).reshape(4, 3, -1)
+
+
 def rect_tria(x0, x1, nex, y0, y1, ney) -> Mesh:
     """Unit-square-style triangulation: each grid quad -> 2 triangles
     (bl,br,tr) + (bl,tr,tl), matching input/tria20x20-elems.dat."""

@@ -104,6 +104,11 @@ class GMGMeta:
     ndof: int
     nu: int          # pre/post smoothing sweeps (equal -> symmetric cycle)
     omega: float     # Jacobi damping
+    # (lmax, lmin, degree) of a Chebyshev coarse solve when the coarsening
+    # chain sticks on an odd dimension above the dense-inverse cap (e.g.
+    # 200 -> 100 -> 50 -> 25 stalls at 17.6k dofs); a fixed polynomial of
+    # the Jacobi-scaled coarse operator is linear and SPD, so CG stays valid
+    coarse_cheby: Optional[Tuple[float, float, int]] = None
 
 
 def symmetrize_dirichlet(A: DIAMatrix, bc_mask: np.ndarray) -> DIAMatrix:
@@ -248,8 +253,9 @@ def build_gmg(
         masks_np.append(sub.reshape(-1))
 
     n_coarsest = meshes[-1].n_node * ndof
-    if n_coarsest > coarsest_max_dof:
-        return None  # chain stuck on an odd dimension while still too big
+    use_cheby = n_coarsest > coarsest_max_dof
+    if use_cheby and n_coarsest > (1 << 18):
+        return None  # stuck on an odd dimension while genuinely too big
 
     # --- per-level operators ---
     mats, inv_diags, masks = [], [], []
@@ -263,14 +269,28 @@ def build_gmg(
         inv_diags.append(jnp.where(d != 0, 1.0 / d, 0.0).astype(dtype))
         masks.append(jnp.asarray(~bm, dtype=dtype))
 
-    coarse_inv = jnp.asarray(
-        np.linalg.inv(_dia_to_dense(mats[-1])), dtype=dtype)
+    coarse_cheby = None
+    if use_cheby:
+        Ac = mats[-1]
+        # Gershgorin upper bound on the Jacobi-scaled spectrum — a SAFE
+        # lmax (power iteration underestimates on clustered spectra, and
+        # Chebyshev diverges violently for eigenvalues above its interval)
+        d = dia_diagonal(Ac)
+        absrow = jnp.sum(jnp.abs(Ac.vals), axis=0)
+        lmax = float(jnp.max(jnp.where(d > 0, absrow / d, 1.0)))
+        # lmin well under the coarse lattice's true smallest eigenvalue;
+        # degree ~48 reaches ~1e-3 coarse accuracy, plenty for the V-cycle
+        coarse_cheby = (lmax, lmax / 200.0, 48)
+        coarse_inv = jnp.zeros((1, 1), dtype=dtype)   # placeholder leaf
+    else:
+        coarse_inv = jnp.asarray(
+            np.linalg.inv(_dia_to_dense(mats[-1])), dtype=dtype)
 
     arrays = GMGArrays(mats=tuple(mats), inv_diags=tuple(inv_diags),
                        masks=tuple(masks), coarse_inv=coarse_inv)
     meta = GMGMeta(
         shapes=tuple(_lattice_shape(m.structure) for m in meshes),
-        ndof=ndof, nu=nu, omega=omega)
+        ndof=ndof, nu=nu, omega=omega, coarse_cheby=coarse_cheby)
     return arrays, meta
 
 
@@ -279,10 +299,12 @@ def build_gmg(
 # ---------------------------------------------------------------------------
 
 def _vcycle(arrays: GMGArrays, meta: GMGMeta, level: int,
-            r: jnp.ndarray, ops) -> jnp.ndarray:
+            r: jnp.ndarray, ops, coarse_apply=None) -> jnp.ndarray:
     """One V(nu, nu) cycle on level `level`; assumes r == 0 on BC entries."""
     last = len(arrays.mats) - 1
     if level == last:
+        if coarse_apply is not None:
+            return coarse_apply(r)
         return arrays.coarse_inv @ r
 
     spmv = ops[level]
@@ -296,7 +318,7 @@ def _vcycle(arrays: GMGArrays, meta: GMGMeta, level: int,
 
     rc = arrays.masks[level + 1] * restrict(
         m * (r - spmv(e)), meta.shapes[level], meta.ndof)
-    ec = _vcycle(arrays, meta, level + 1, rc, ops)
+    ec = _vcycle(arrays, meta, level + 1, rc, ops, coarse_apply)
     e = e + m * prolong(ec, meta.shapes[level + 1], meta.ndof)
 
     for _ in range(meta.nu):
@@ -317,8 +339,18 @@ def gmg_preconditioner(arrays: GMGArrays, meta: GMGMeta) -> Callable:
     fine_mask = arrays.masks[0]
     ops = tuple(dia_operator(A) for A in arrays.mats)
 
+    coarse_apply = None
+    if meta.coarse_cheby is not None:
+        from pfemfort_tpu.solve.precond import chebyshev_preconditioner
+
+        lmax, lmin, deg = meta.coarse_cheby
+        inv_d = arrays.inv_diags[-1]
+        diag_c = jnp.where(inv_d != 0, 1.0 / inv_d, 1.0)
+        coarse_apply = chebyshev_preconditioner(
+            ops[-1], diag_c, lmax=lmax, lmin=lmin, degree=deg)
+
     def precond(r):
-        z = _vcycle(arrays, meta, 0, fine_mask * r, ops)
+        z = _vcycle(arrays, meta, 0, fine_mask * r, ops, coarse_apply)
         # identity on BC components (they are zero throughout full-system
         # CG started from x0 = bc values, but keep exactness anyway)
         return jnp.where(fine_mask > 0, z, r)

@@ -107,3 +107,17 @@ def test_tria1000x1000_reference_fixture():
     dbc = mesh_io.read_bcs(f"{ref_dir}/tria1000x1000-DirichBC.dat")
     bn = generate.boundary_nodes(gen)
     assert set(dbc[:, 0].astype(int)) == set(bn.tolist())
+
+
+def test_coords_em_device_matches_host():
+    """The iota-arithmetic device build of element-minor coords equals the
+    numpy broadcast build (up to f32 rounding)."""
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.mesh import generate
+
+    host = generate.box_tet_coords_em(0.0, 1.0, 3, -1.0, 2.0, 4, 0.5, 2.5, 5)
+    dev = np.asarray(generate.box_tet_coords_em_device(
+        0.0, 1.0, 3, -1.0, 2.0, 4, 0.5, 2.5, 5, dtype=jnp.float32))
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, atol=2e-6)

@@ -96,6 +96,45 @@ def test_mg_jacobi_same_answer():
     assert int(res_mg.stats.iters) < int(res_j.stats.iters)
 
 
+def test_mg_chebyshev_coarse_tail():
+    """Chains stuck on an odd dimension above the dense-inverse cap switch
+    to a Chebyshev coarse solve (the 200^3 bench chain sticks at 25^3 =
+    17.6k dofs); CG through that V-cycle must stay fast and exact."""
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.dofs.dofmap import build_dofmap
+    from pfemfort_tpu.elements.poisson import poisson_element_matrices
+    from pfemfort_tpu.solve.cg import cg_solve
+    from pfemfort_tpu.solve.multigrid import build_gmg, gmg_preconditioner
+    from pfemfort_tpu.sparse.dia import dia_diagonal
+    from pfemfort_tpu.sparse.ops import operator_and_diag
+
+    mesh, dbc = generate.box_tet(0, 1, 10, 0, 1, 10, 0, 1, 10)
+    dofmap = build_dofmap(mesh, 1, dbc)
+    element_fn = lambda c: poisson_element_matrices(c, "tetra4", source=-6.0)
+    bc_mask = ~dofmap.free_mask_full()
+    # coarsest_max_dof=64 makes the 10 -> 5 chain stick (6^3 = 216 > 64)
+    mg = build_gmg(mesh, 1, bc_mask, element_fn, dtype=jnp.float64,
+                   coarsest_max_dof=64)
+    assert mg is not None
+    arrays, meta = mg
+    assert meta.coarse_cheby is not None
+    assert arrays.coarse_inv.shape == (1, 1)
+
+    A = arrays.mats[0]           # symmetrized full system
+    op, _ = operator_and_diag(A)
+    rng = np.random.default_rng(0)
+    x_star = jnp.asarray(rng.standard_normal(A.n_rows))
+    b = op(x_star)
+    x0 = jnp.where(jnp.asarray(bc_mask), x_star, 0.0)
+    u, stats = cg_solve(op, b, precond=gmg_preconditioner(arrays, meta),
+                        rtol=1e-10, maxiter=60, x0=x0)
+    assert bool(np.asarray(stats.converged)), stats
+    assert int(np.asarray(stats.iters)) <= 30, stats
+    np.testing.assert_allclose(np.asarray(u), np.asarray(x_star),
+                               atol=1e-7)
+
+
 def test_mg_falls_back_on_unstructured():
     """precond='mg' on a mesh without lattice structure -> Jacobi, still
     converges."""
