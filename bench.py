@@ -699,6 +699,65 @@ def dist_spmv_stage(n: int, detail: dict):
         _log(f"[dist] shard-local {name} spmv: {best*1e6:.0f}us, "
              f"{gbps:.0f} GB/s ({100*gbps/peak:.0f}% peak)")
 
+    # shard-local UNSTRUCTURED operator: slot-gather over the ghost-
+    # extended local vector (parallel/dist_ell.py:spmv_ell_halo_sg)
+    try:
+        from pfemfort_tpu.parallel.dist_ell import (
+            build_dist_ell_setup, build_ell_halo, build_ell_halo_slotgather,
+            spmv_ell_halo_sg)
+
+        nu = max(n // 2, 16)
+        um, udbc = generate.box_tet(0, 1, nu, 0, 1, nu, 0, 1, nu)
+        uperm = np.random.default_rng(1).permutation(um.n_node)
+        um = um.renumbered(uperm.astype(np.int64))
+        udbc = udbc.copy()
+        udbc[:, 0] = uperm[udbc[:, 0].astype(np.int64)]
+        setup = build_dist_ell_setup(um, 1, udbc, 1)
+        cols_local, send_rows, wx = build_ell_halo(setup)
+        Pr = setup.sys.rows_per_shard
+        K = setup.ell_k
+        sgp = build_ell_halo_slotgather(cols_local, wx, Pr)
+        if sgp is None:
+            raise RuntimeError("sg plan over cap")
+        dims = sgp["dims"]
+        sg_arrays = tuple(jnp.asarray(sgp[k])
+                          for k in ("qsel", "vstart", "rsel", "eps", "src"))
+        vals_u = jnp.ones((Pr, K), dtype=dtype)
+        sr = jnp.asarray(send_rows.reshape(1, -1, wx)[0])
+        xu = jnp.ones((Pr,), dtype=dtype)
+        ubytes = (2 * K * Pr + 2 * Pr) * 4
+
+        def ubody(vals_l, x_l, *sg_l):
+            src_l = sg_l[4]
+            valsv = (jnp.reshape(vals_l, (-1,))[jnp.clip(src_l, 0, None)]
+                     * (src_l >= 0).astype(vals_l.dtype))
+            def it(i, x_l):
+                return spmv_ell_halo_sg(sg_l, valsv, sr, x_l, dims,
+                                        "shard") * 0.999
+            return jax.lax.fori_loop(0, iters, it, x_l)
+
+        chain_u = jax.jit(jax.shard_map(
+            ubody, mesh=dm,
+            in_specs=(P(None, None), P("shard"))
+            + tuple(P(None, *([None] * (a.ndim - 2))) for a in sg_arrays),
+            out_specs=P("shard"), check_vma=False))
+        sg_l0 = tuple(a[0] for a in sg_arrays)
+        t0 = time.perf_counter()
+        _sync(chain_u(vals_u, xu, *sg_l0))
+        _log(f"[dist] ell-sg compile {time.perf_counter()-t0:.1f}s")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(chain_u(vals_u, xu, *sg_l0))
+            best = min(best, (time.perf_counter() - t0 - rt) / iters)
+        gbps = ubytes / best / 1e9
+        results["shard_spmv_ell_sg_gbps"] = float(gbps)
+        _log(f"[dist] shard-local ell-sg spmv: {best*1e6:.0f}us, "
+             f"{gbps:.0f} GB/s ({100*gbps/peak:.0f}% peak)")
+    except Exception as ex:
+        _log(f"[dist] ell-sg stage skipped: {type(ex).__name__}: "
+             f"{str(ex)[:200]}")
+
     detail["dist_spmv"] = dict(n_dof=int(N), **results)
 
 

@@ -274,10 +274,20 @@ def solve_implicit_sharded(
         sr_s = jax.device_put(
             jnp.asarray(send_rows.reshape(S * S, wx)),
             NamedSharding(device_mesh, P("shard", None)))
+        # Real-TPU in-shard SpMV: slot-gather Pallas kernel over the
+        # ghost-extended local vector (the XLA gather runs on the scalar
+        # core); None when the within-shard locality is too poor
+        sg = None
+        if (jax.default_backend() == "tpu"
+                and dtype == jnp.float32
+                and Prow + S * wx + 1 <= (1 << 21)):
+            from pfemfort_tpu.parallel.dist_ell import (
+                build_ell_halo_slotgather)
+            sg = build_ell_halo_slotgather(cols_local, wx, Prow)
         t1 = time.perf_counter()
         x, stats = distributed_cg_solve_ell(
             device_mesh, cols_s, vals_s, b_s, sr_s, wx,
-            rtol=rtol, maxiter=maxiter)
+            rtol=rtol, maxiter=maxiter, sg=sg)
         x = jax.block_until_ready(x)
         t_solve = time.perf_counter() - t1
     else:

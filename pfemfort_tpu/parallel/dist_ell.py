@@ -279,6 +279,67 @@ def build_ell_halo(setup: DistELLSetup):
             int(wx))
 
 
+def build_ell_halo_slotgather(cols_local: np.ndarray, wx: int,
+                              n_rows_local: int, v_cap: int = 192):
+    """Per-shard slot-gather plans over the ghost-extended local column
+    space [own P rows | S*Wx ghost slots | 1 zero pad] — the fast-kernel
+    form of `spmv_ell_halo`'s gather (sparse/slotgather.py; the XLA
+    lowering of `xg[cols]` runs on the TPU scalar core at ~1 GB/s).
+
+    Returns a dict of stacked (S, ...) host arrays + static dims, or None
+    when any shard's plan exceeds `v_cap` virtual rows (poor within-shard
+    column locality; callers keep the XLA gather).
+    """
+    from pfemfort_tpu.sparse import slotgather as sgm
+
+    S, P, K = cols_local.shape
+    assert P == n_rows_local
+    n_cols_ext = P + S * wx + 1
+    plans = []
+    for s in range(S):
+        # sub=8: shard-local blocks are small; larger grid steps would pad
+        # whole tiles
+        plan = sgm.build_slotgather_plan(
+            cols_local[s].astype(np.int64), n_rows=P, n_cols=n_cols_ext,
+            sub=8)
+        if plan.V > v_cap:
+            return None
+        plans.append(plan)
+    T, V, G = sgm.uniform_dims(plans)
+    padded = [sgm.pad_plan(p, T, V, G) for p in plans]
+    if max(int(p.src.max(initial=0)) for p in padded) >= 2**31:
+        return None
+    return dict(
+        qsel=np.stack([p.qsel for p in padded]),
+        vstart=np.stack([p.vstart for p in padded]),
+        rsel=np.stack([p.rsel for p in padded]),
+        eps=np.stack([p.eps for p in padded]),
+        src=np.stack([p.src.astype(np.int32) for p in padded]),
+        dims=(T, V, G, P, n_cols_ext),
+    )
+
+
+def spmv_ell_halo_sg(sg_l, valsv_l, send_rows_l, x_l, dims, axis: str):
+    """y_l = (A x)_l: pairwise ghost exchange + the slot-gather Pallas
+    SpMV on the extended local vector (inside shard_map, TPU only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.sparse.slotgather import (
+        PallasSlotGather, apply_slotgather)
+
+    T, V, G, P, n_cols_ext = dims
+    send = x_l[send_rows_l]                        # (S, Wx)
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    xg = jnp.concatenate([x_l, recv.reshape(-1),
+                          jnp.zeros((1,), dtype=x_l.dtype)])
+    qsel_l, vstart_l, rsel_l, eps_l, src_l = sg_l
+    Psg = PallasSlotGather(
+        qsel=qsel_l, vstart=vstart_l, rsel=rsel_l, eps=eps_l, src=src_l,
+        n_rows=P, T=T, V=V, G=G, sub=8, n_cols=n_cols_ext)
+    return apply_slotgather(Psg, valsv_l, xg)
+
+
 def spmv_ell_halo(vals_l, cols_local_l, send_rows_l, x_l, axis: str):
     """y_l = (A x)_l with the pairwise ghost exchange (inside shard_map).
 

@@ -46,6 +46,38 @@ class ShardedSystem:
         return out
 
 
+def _within_shard_rcm(mesh: Mesh, node_part: np.ndarray,
+                      n_shards: int, max_nodes: int = 4_000_000
+                      ) -> np.ndarray:
+    """Per-shard Reverse-Cuthill-McKee rank of every node (falls back to
+    the original order for huge meshes or if scipy is unavailable)."""
+    n_node = mesh.n_node
+    if n_node > max_nodes:
+        return np.arange(n_node, dtype=np.int64)
+    try:
+        import scipy.sparse as ssp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+    except Exception:                     # pragma: no cover
+        return np.arange(n_node, dtype=np.int64)
+
+    conn = mesh.conn.astype(np.int64)
+    npe = conn.shape[1]
+    ii = np.repeat(conn, npe, axis=1).reshape(-1)
+    jj = np.tile(conn, (1, npe)).reshape(-1)
+    A = ssp.csr_matrix(
+        (np.ones(len(ii), np.float32), (ii, jj)), shape=(n_node, n_node))
+    rank = np.arange(n_node, dtype=np.int64)
+    for s in range(n_shards):
+        nodes_s = np.nonzero(node_part == s)[0]
+        if len(nodes_s) < 3:
+            continue
+        sub = A[nodes_s][:, nodes_s]
+        order_s = np.asarray(reverse_cuthill_mckee(
+            sub.tocsr(), symmetric_mode=True), dtype=np.int64)
+        rank[nodes_s[order_s]] = np.arange(len(nodes_s))
+    return rank
+
+
 def build_sharded_system(
     mesh: Mesh,
     ndof: int,
@@ -95,8 +127,16 @@ def build_sharded_system(
         counts = np.bincount(eq_part, minlength=n_shards)
         P = round_up(max(int(counts.max(initial=1)), 1), lane_pad)
 
-        # New padded row id: shard_base + rank within shard (stable order)
-        order = np.argsort(eq_part, kind="stable")
+        # Within-shard order: RCM of each shard's NODE subgraph (dofs of a
+        # node stay adjacent, preserving the block-Jacobi node blocks).
+        # Bandwidth-reduced local numbering is what lets the slot-gather
+        # in-shard SpMV (dist_ell.build_ell_halo_slotgather) stay within
+        # its virtual-row cap; the stable original order scored V in the
+        # hundreds on the reference's unstructured meshes.
+        node_rank = _within_shard_rcm(mesh, node_part, n_shards)
+
+        order = np.lexsort((np.arange(dofmap.total_dof),
+                            node_rank[eq_node], eq_part))
         within = np.zeros(dofmap.total_dof, dtype=np.int64)
         start = 0
         for s in range(n_shards):

@@ -165,20 +165,43 @@ def distributed_cg_solve_ell(
     rtol: float = 1e-8,
     maxiter: int = 10_000,
     axis: str = "shard",
+    sg=None,
 ):
     """Jacobi-CG over the unstructured per-shard ELL with the pairwise
     ghost exchange (parallel/dist_ell.py:spmv_ell_halo): per-iteration comm
     is ONE all_to_all of S*Wx surface values + the psum dots — O(partition
-    surface), not the all_gather's O(N)."""
-    from pfemfort_tpu.parallel.dist_ell import spmv_ell_halo
+    surface), not the all_gather's O(N).
+
+    `sg`: optional stacked slot-gather plan from
+    `dist_ell.build_ell_halo_slotgather` — routes every shard's in-shard
+    SpMV through the Pallas slot-gather kernel (TPU; ~100x the XLA
+    gather's bandwidth)."""
+    from pfemfort_tpu.parallel.dist_ell import (
+        spmv_ell_halo, spmv_ell_halo_sg)
 
     n_rows = cols_local.shape[0]
     n_shards = device_mesh.devices.size
     P_ = n_rows // n_shards
+    sg_arrays = ()
+    sg_dims = None
+    if sg is not None:
+        sg_dims = sg["dims"]
+        sg_arrays = tuple(jnp.asarray(sg[k])
+                          for k in ("qsel", "vstart", "rsel", "eps", "src"))
 
-    def body(cols_l, vals_l, send_rows_l, b_l):
-        def operator(x_l):
-            return spmv_ell_halo(vals_l, cols_l, send_rows_l, x_l, axis)
+    def body(cols_l, vals_l, send_rows_l, b_l, *sg_l):
+        if sg_dims is not None:
+            sgp = tuple(a[0] for a in sg_l)      # drop the unit shard dim
+            src_l = sgp[4]
+            valsv_l = (jnp.reshape(vals_l, (-1,))[jnp.clip(src_l, 0, None)]
+                       * (src_l >= 0).astype(vals_l.dtype))
+
+            def operator(x_l):
+                return spmv_ell_halo_sg(sgp, valsv_l, send_rows_l, x_l,
+                                        sg_dims, axis)
+        else:
+            def operator(x_l):
+                return spmv_ell_halo(vals_l, cols_l, send_rows_l, x_l, axis)
 
         def local_diag():
             rows = jnp.arange(P_, dtype=cols_l.dtype)[:, None]
@@ -204,11 +227,12 @@ def distributed_cg_solve_ell(
     mapped = jax.shard_map(
         body,
         mesh=device_mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis))
+        + tuple(P(axis, *([None] * (a.ndim - 1))) for a in sg_arrays),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(mapped)(cols_local, vals, send_rows, b)
+    return jax.jit(mapped)(cols_local, vals, send_rows, b, *sg_arrays)
 
 
 def distributed_cg_solve_dia(

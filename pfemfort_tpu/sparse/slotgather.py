@@ -55,7 +55,7 @@ LANES = 128
 @dataclasses.dataclass
 class SlotGatherPlan:
     """Static re-packing of an ELL pattern for the Pallas kernel (host)."""
-    n_rows: int
+    n_rows: int               # output rows (rows of the ELL block)
     T: int                    # row tiles of 128
     V: int                    # virtual rows per tile (multiple of 8)
     G: int                    # staging groups per tile
@@ -65,8 +65,15 @@ class SlotGatherPlan:
     eps: np.ndarray           # (T, V, 128) int32 — lane within the x window
     src: np.ndarray           # (T, V, 128) int64 — flat index into vals(N*K)
     #                           or -1 for empty slots
+    n_cols: int = -1          # x length (== n_rows for square systems;
+    #                           larger for shard-local blocks with ghosts)
+    sub: int = 8              # row tiles per grid step (T % sub == 0)
     order: Optional[np.ndarray] = None   # row ordering the plan was built in
     inv_order: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.n_cols < 0:
+            self.n_cols = self.n_rows
 
     @property
     def n_rows_padded(self) -> int:
@@ -87,18 +94,31 @@ def rcm_order(indptr: np.ndarray, indices: np.ndarray,
 
 def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
                           order: Optional[np.ndarray] = None,
-                          sub: int = 8) -> SlotGatherPlan:
-    """Build the plan from padded-ELL columns (sentinel >= n_rows).
+                          sub: int = 32,
+                          n_cols: Optional[int] = None) -> SlotGatherPlan:
+    """Build the plan from padded-ELL columns (sentinel >= n_cols).
 
     `order`: optional bandwidth-reducing row permutation (new-from-old, as
     returned by `rcm_order`); the plan, and every SpMV through it, then
     lives in the permuted space.  `src` composes the permutation, so
     `vals.reshape(-1)[src]` re-packs UN-permuted ELL values directly.
+
+    `n_cols`: x length when the block is rectangular (shard-local rows
+    reading an extended [own rows | ghost slots] vector); defaults to
+    `n_rows` (square system).  `order` requires a square system.
+
+    `sub`: row tiles per Pallas grid step.  32 amortizes per-step overhead
+    (measured 275 vs 201 GB/s against sub=8 at 1M rows); small shard-local
+    blocks use 8 to bound tile padding.
     """
     N, K = ell_cols.shape
+    if n_cols is None:
+        n_cols = n_rows
     cols = ell_cols.astype(np.int64)
     inv = None
     if order is not None:
+        if n_cols != n_rows:
+            raise ValueError("order requires a square system")
         inv = np.empty(N, np.int64)
         inv[order] = np.arange(N)
         sent = cols >= n_rows
@@ -109,14 +129,18 @@ def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
         cols = np.take_along_axis(cols, slot_order, axis=1)
         src_of_slot = (order[:, None] * K + slot_order)
     else:
+        # sort slots per row (ghost-extended local ids are not ascending);
+        # the (row, 128-block) grouping below needs same-block runs
+        slot_order = np.argsort(cols, axis=1, kind="stable")
+        cols = np.take_along_axis(cols, slot_order, axis=1)
         src_of_slot = (np.arange(N, dtype=np.int64)[:, None] * K
-                       + np.arange(K, dtype=np.int64)[None, :])
+                       + slot_order)
 
     T = -(-N // (LANES * sub)) * sub
     r_full = np.repeat(np.arange(N, dtype=np.int64), K)
     k_full = np.tile(np.arange(K, dtype=np.int64), N)
     c_full = cols.reshape(-1)
-    valid = c_full < n_rows
+    valid = c_full < n_cols
     r = r_full[valid]
     k = k_full[valid]
     c = c_full[valid]
@@ -211,7 +235,7 @@ def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
 
     return SlotGatherPlan(n_rows=n_rows, T=T, V=V, G=G,
                           qsel=qsel, vstart=vstart, rsel=rsel,
-                          eps=epsA, src=srcA,
+                          eps=epsA, src=srcA, n_cols=n_cols, sub=sub,
                           order=order, inv_order=inv)
 
 
@@ -222,8 +246,9 @@ def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
 def apply_slotgather_reference(plan: SlotGatherPlan, valsv: np.ndarray,
                                x: np.ndarray) -> np.ndarray:
     """y = A x from the plan arrays alone (validates the re-packing)."""
-    xp = np.zeros(plan.T * LANES, dtype=x.dtype)
-    xp[:plan.n_rows] = x[:plan.n_rows]
+    ncp = max(-(-plan.n_cols // (8 * LANES)) * 8 * LANES, 8 * LANES)
+    xp = np.zeros(ncp, dtype=x.dtype)
+    xp[:plan.n_cols] = x[:plan.n_cols]
     x2d = xp.reshape(-1, LANES)
     win = np.zeros((plan.T, plan.V), dtype=np.int64)
     for g in range(plan.G):
@@ -263,18 +288,23 @@ class PallasSlotGather:
     V: int = dataclasses.field(metadata=dict(static=True))
     G: int = dataclasses.field(metadata=dict(static=True))
     sub: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
 
-def prepare_slotgather(plan: SlotGatherPlan, sub: int = 8) -> PallasSlotGather:
+def prepare_slotgather(plan: SlotGatherPlan,
+                       sub: Optional[int] = None) -> PallasSlotGather:
     """Move the plan to the device once (values are packed separately per
     assembly via `pack_values`)."""
     if plan.src.size and plan.src.max(initial=0) >= 2**31:
         raise ValueError("slot-gather plan exceeds int32 source indexing")
+    sub = plan.sub if sub is None else sub
+    assert plan.T % sub == 0
     return PallasSlotGather(
         qsel=jnp.asarray(plan.qsel), vstart=jnp.asarray(plan.vstart),
         rsel=jnp.asarray(plan.rsel), eps=jnp.asarray(plan.eps),
         src=jnp.asarray(plan.src.astype(np.int32)),
-        n_rows=plan.n_rows, T=plan.T, V=plan.V, G=plan.G, sub=sub)
+        n_rows=plan.n_rows, T=plan.T, V=plan.V, G=plan.G, sub=sub,
+        n_cols=plan.n_cols)
 
 
 def pack_values(P: PallasSlotGather, vals) -> jnp.ndarray:
@@ -312,9 +342,10 @@ def apply_slotgather(P: PallasSlotGather, valsv: jnp.ndarray,
     """y = A x (x length n_rows; returns n_rows).  `valsv` from
     `pack_values`."""
     n, T, V, G, sub = P.n_rows, P.T, P.V, P.G, P.sub
-    npad = T * LANES
-    if x.shape[0] != npad:
-        x = jnp.concatenate([x, jnp.zeros((npad - x.shape[0],), x.dtype)])
+    nc = P.n_cols if P.n_cols > 0 else n
+    ncpad = max(-(-nc // (8 * LANES)) * 8 * LANES, 8 * LANES)
+    if x.shape[0] != ncpad:
+        x = jnp.concatenate([x, jnp.zeros((ncpad - x.shape[0],), x.dtype)])
     x3d = x.reshape(-1, 8, LANES)
     Rq = x3d.shape[0]
     y = pl.pallas_call(
@@ -338,6 +369,52 @@ def apply_slotgather(P: PallasSlotGather, valsv: jnp.ndarray,
     )(P.qsel, P.vstart, P.rsel, P.eps,
       valsv.reshape(T, V, LANES), x3d)
     return y.reshape(-1)[:n]
+
+
+def uniform_dims(plans) -> Tuple[int, int, int]:
+    """(T, V, G) that every plan in `plans` can be padded to (pad_plan)."""
+    T = max(p.T for p in plans)
+    V = max(p.V for p in plans)
+    G = max(p.G + -(-(V - p.V) // 8) for p in plans)
+    return T, V, G
+
+
+def pad_plan(plan: SlotGatherPlan, T: int, V: int,
+             G: int) -> SlotGatherPlan:
+    """Pad a plan to uniform (T, V, G) so per-shard plans can be stacked
+    into one shard_map operand (every shard runs the same kernel program).
+
+    Pad groups re-stage real rows (or the scratch pad region) so every
+    xw row < V is always written before the big lane-gather reads it —
+    an unwritten scratch row could hold NaNs and 0 * NaN poisons the sum.
+    """
+    assert T >= plan.T and V >= plan.V
+    assert G >= plan.G + -(-(V - plan.V) // 8), \
+        "G must cover staging of the padded virtual rows (uniform_dims)"
+    eps = np.zeros((T, V, LANES), np.int32)
+    src = np.full((T, V, LANES), -1, np.int64)
+    eps[:plan.T, :plan.V] = plan.eps
+    src[:plan.T, :plan.V] = plan.src
+    qsel = np.zeros((T, G), np.int32)
+    vstart = np.full((T, G), 0, np.int32)
+    rsel = np.zeros((T, G), np.int32)
+    qsel[:plan.T, :plan.G] = plan.qsel
+    vstart[:plan.T, :plan.G] = plan.vstart
+    rsel[:plan.T, :plan.G] = plan.rsel
+    # extra groups stage the new rows [plan.V, V) (zero-valued), then keep
+    # re-staging the last chunk; extra tiles stage rows 0.. with window 0
+    extra_v = list(range(plan.V, V, 8)) or [max(V - 8, 0)]
+    for gi in range(plan.G, G):
+        v0 = extra_v[min(gi - plan.G, len(extra_v) - 1)]
+        vstart[:plan.T, gi] = v0
+    for t in range(plan.T, T):
+        for gi in range(G):
+            vstart[t, gi] = min(8 * gi, max(V - 8, 0))
+    return SlotGatherPlan(n_rows=plan.n_rows, T=T, V=V, G=G,
+                          qsel=qsel, vstart=vstart, rsel=rsel,
+                          eps=eps, src=src, n_cols=plan.n_cols,
+                          sub=plan.sub,
+                          order=plan.order, inv_order=plan.inv_order)
 
 
 def slotgather_supported(n_rows: int, max_rows: int = 1 << 21) -> bool:

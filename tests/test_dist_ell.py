@@ -162,3 +162,49 @@ def test_beam_elasticity_with_force_bc(beam3d, scramble):
     assert bool(np.asarray(res.stats.converged))
     scale = np.abs(ref.u_full).max()
     assert np.abs(res.u_full - ref.u_full).max() < 1e-8 * max(scale, 1.0)
+
+
+def test_slotgather_plans_match_halo_semantics():
+    """The stacked per-shard slot-gather plans (the TPU in-shard SpMV fast
+    path) reproduce spmv_ell_halo's gather over the ghost-extended local
+    vector, shard by shard (validated via the reference executor)."""
+    from pfemfort_tpu.parallel.dist_ell import (
+        build_ell_halo, build_ell_halo_slotgather)
+    from pfemfort_tpu.sparse.slotgather import (
+        SlotGatherPlan, apply_slotgather_reference)
+
+    S = 4
+    mesh, dbc = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 8)
+    setup = build_dist_ell_setup(mesh, 1, dbc, S)
+    cols_local, send_rows, wx = build_ell_halo(setup)
+    Prow = setup.sys.rows_per_shard
+    sg = build_ell_halo_slotgather(cols_local, wx, Prow)
+    assert sg is not None, "lexicographic slab shards must stay within cap"
+    T, V, G, P_, nce = sg["dims"]
+    assert P_ == Prow and nce == Prow + S * wx + 1
+
+    rng = np.random.default_rng(0)
+    K = setup.ell_k
+    vals = rng.standard_normal((S, Prow, K)).astype(np.float32)
+    x = rng.standard_normal((S, Prow)).astype(np.float32)
+
+    for s in range(S):
+        xg = np.zeros(nce, np.float32)
+        xg[:Prow] = x[s]
+        for o in range(S):
+            xg[Prow + o * wx: Prow + (o + 1) * wx] = x[o][send_rows[o, s]]
+        xg[-1] = 0.0
+        cl = cols_local[s].astype(np.int64)
+        y_ref = (vals[s] * xg[cl]).sum(axis=1)
+
+        plan = SlotGatherPlan(
+            n_rows=Prow, T=T, V=V, G=G,
+            qsel=sg["qsel"][s], vstart=sg["vstart"][s], rsel=sg["rsel"][s],
+            eps=sg["eps"][s], src=sg["src"][s].astype(np.int64),
+            n_cols=nce)
+        valsv = np.where(plan.src >= 0,
+                         vals[s].reshape(-1)[np.clip(plan.src, 0, None)],
+                         0.0).astype(np.float32)
+        y = apply_slotgather_reference(plan, valsv, xg)
+        err = np.abs(y - y_ref).max() / max(np.abs(y_ref).max(), 1e-30)
+        assert err < 1e-5, (s, err)
