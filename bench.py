@@ -666,9 +666,21 @@ def dist_spmv_stage(n: int, detail: dict):
 
     results = {}
     plan = lattice_halo_plan(A.offsets, lat) if lat else None
-    from pfemfort_tpu.parallel.halo import halo_width
+    from pfemfort_tpu.parallel.halo import halo_width, spmv_dia_halo_pallas
+    from pfemfort_tpu.sparse.dia import DIAMatrix
+    from pfemfort_tpu.sparse.pallas_spmv import prepare_dia_pallas
     w = halo_width(A.offsets)
+
+    def op_pallas_body(vals_l, x_l):
+        Pd = prepare_dia_pallas(DIAMatrix(
+            vals=vals_l, offsets=A.offsets, n_rows=N, lattice=None))
+
+        def it(i, x_l):
+            return spmv_dia_halo_pallas(Pd, x_l, w, "shard") * 0.999
+        return jax.lax.fori_loop(0, iters, it, x_l)
+
     for name, op in [
+        ("pallas", "body"),
         ("lattice", (lambda v, x: spmv_dia_halo_lattice(
             plan[0], v, x, lat, plan[1], "shard")) if plan else None),
         ("shift1d", lambda v, x: spmv_dia_halo(A.offsets, v, x, w,
@@ -677,15 +689,18 @@ def dist_spmv_stage(n: int, detail: dict):
         if op is None:
             continue
 
-        def body(vals_l, x_l):
-            def it(i, x_l):
-                return op(vals_l, x_l) * 0.999
-            return jax.lax.fori_loop(0, iters, it, x_l)
+        if op == "body":
+            body = op_pallas_body
+        else:
+            def body(vals_l, x_l, op=op):
+                def it(i, x_l):
+                    return op(vals_l, x_l) * 0.999
+                return jax.lax.fori_loop(0, iters, it, x_l)
 
         chain = jax.jit(jax.shard_map(
             body, mesh=dm,
             in_specs=(P(None, "shard"), P("shard")),
-            out_specs=P("shard")))
+            out_specs=P("shard"), check_vma=False))
         t0 = time.perf_counter()
         _sync(chain(A.vals, x))
         _log(f"[dist] {name} compile {time.perf_counter()-t0:.1f}s")

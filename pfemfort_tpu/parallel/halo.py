@@ -83,6 +83,19 @@ def spmv_dia_halo(offsets: Tuple[int, ...], vals_local: jnp.ndarray,
     return jnp.concatenate([y_top, y_mid, y_bot])
 
 
+def spmv_dia_halo_pallas(Pd, x_local: jnp.ndarray, w: int,
+                         axis: str) -> jnp.ndarray:
+    """y_local = (A x)_local through the Pallas DIA kernel on the shard's
+    halo-extended vector (sparse/pallas_spmv.py:apply_dia_pallas_halo) —
+    the in-shard form of the 593 GB/s single-chip kernel (the XLA stencil
+    runs at ~83 GB/s at bench shapes).  `Pd` from `prepare_dia_pallas` on
+    the SHARD-LOCAL (D, P) values, built outside the CG loop."""
+    from pfemfort_tpu.sparse.pallas_spmv import apply_dia_pallas_halo
+
+    left, right = exchange_halos(x_local, w, axis)
+    return apply_dia_pallas_halo(Pd, x_local, left, right)
+
+
 def lattice_halo_plan(offsets: Tuple[int, ...],
                       lattice: Tuple[int, ...]):
     """Static plan for the stencil form of the sharded DIA SpMV.

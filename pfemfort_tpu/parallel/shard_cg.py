@@ -278,8 +278,30 @@ def distributed_cg_solve_dia(
     except ValueError:
         d0 = None
 
+    use_pallas = False
+    try:
+        use_pallas = (use_halo and jax.default_backend() == "tpu"
+                      and dia_vals.dtype == jnp.float32
+                      and rows_per_shard >= 1 << 14)
+    except Exception:
+        pass
+
     def body(vals_l, b_l):
-        if plan is not None:
+        if use_pallas:
+            # in-shard SpMV through the Pallas DIA kernel on the halo-
+            # extended local vector (~6x the XLA stencil's bandwidth);
+            # value pad/reshape happens once per solve, outside the loop
+            from pfemfort_tpu.parallel.halo import spmv_dia_halo_pallas
+            from pfemfort_tpu.sparse.dia import DIAMatrix
+            from pfemfort_tpu.sparse.pallas_spmv import prepare_dia_pallas
+
+            Pd = prepare_dia_pallas(DIAMatrix(
+                vals=vals_l, offsets=tuple(offsets),
+                n_rows=rows_per_shard, lattice=None))
+
+            def operator(x_l):
+                return spmv_dia_halo_pallas(Pd, x_l, w, axis)
+        elif plan is not None:
             shifts, wp = plan
 
             def operator(x_l):

@@ -114,16 +114,41 @@ def prepare_dia_pallas(A: DIAMatrix,
 
 def apply_dia_pallas(P: PallasDIA, x: jnp.ndarray) -> jnp.ndarray:
     """y = A x with VMEM-resident x chunk windows and streamed vals blocks."""
-    D = len(P.offsets)
-    n, wrow, rb, Rc, nchunks = P.n, P.wrow, P.rb, P.Rc, P.nchunks
-    Rpad = nchunks * Rc
-    npad = Rpad * LANES
-    bpc = Rc // rb                     # blocks per chunk
-    Rcw = Rc + 2 * wrow + 1            # window rows per chunk
-
+    n = P.n
+    wrow = P.wrow
+    npad = P.nchunks * P.Rc * LANES
     xpad = jnp.concatenate([
         jnp.zeros((wrow * LANES,), dtype=x.dtype), x,
         jnp.zeros(((wrow + 1) * LANES + npad - n,), dtype=x.dtype)])
+    return _apply_dia_pallas_padded(P, xpad)
+
+
+def apply_dia_pallas_halo(P: PallasDIA, x_l: jnp.ndarray,
+                          left: jnp.ndarray,
+                          right: jnp.ndarray) -> jnp.ndarray:
+    """y_l = A_l [left | x_l | right]: the halo-exchange form of the kernel
+    for row-sharded DIA (parallel/halo.py) — identical compute, with the
+    ring-neighbor halo values taking the place of the zero pad.
+
+    left/right are the (w,) halo vectors with w <= wrow*LANES."""
+    w = left.shape[0]
+    n = P.n
+    wrow = P.wrow
+    npad = P.nchunks * P.Rc * LANES
+    assert w <= wrow * LANES
+    xpad = jnp.concatenate([
+        jnp.zeros((wrow * LANES - w,), dtype=x_l.dtype), left, x_l, right,
+        jnp.zeros(((wrow + 1) * LANES + npad - n - w,), dtype=x_l.dtype)])
+    return _apply_dia_pallas_padded(P, xpad)
+
+
+def _apply_dia_pallas_padded(P: PallasDIA, xpad: jnp.ndarray) -> jnp.ndarray:
+    D = len(P.offsets)
+    n, wrow, rb, Rc, nchunks = P.n, P.wrow, P.rb, P.Rc, P.nchunks
+    Rpad = nchunks * Rc
+    bpc = Rc // rb                     # blocks per chunk
+    Rcw = Rc + 2 * wrow + 1            # window rows per chunk
+
     xpad2d = xpad.reshape(-1, LANES)   # (Rpad + 2*wrow + 1, 128)
     # non-overlapping window copies: (nchunks, Rcw, 128)
     xwins = jnp.stack([
@@ -141,7 +166,7 @@ def apply_dia_pallas(P: PallasDIA, x: jnp.ndarray) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((rb, LANES), lambda c, i: (c * bpc + i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rpad, LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Rpad, LANES), xpad.dtype),
         interpret=P.interpret,
     )(P.vals2d, xwins)
     return y.reshape(-1)[:n]
