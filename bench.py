@@ -791,7 +791,10 @@ def main():
               "dtype": "float32 (+double-float refinement)"}
     nnz_per_s = flagship(n, detail)
     try:
-        unstructured_stage(max(n // 2, 16), detail)
+        # full flagship size: the slot-gather kernel's per-step overhead
+        # amortizes with row count (measured 136 GB/s at 104k rows vs
+        # 275 GB/s at 1M)
+        unstructured_stage(max(n, 16), detail)
     except Exception as ex:
         _log(f"[unstr] stage failed: {type(ex).__name__}: {str(ex)[:300]}")
         detail["unstructured"] = {
