@@ -47,8 +47,45 @@ def load(path: Optional[str] = None):
         ctypes.c_double, ctypes.c_double, ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, ctypes.c_int64, ctypes.c_char_p]
     lib.pfem_gen_tet_mesh.restype = ctypes.c_int
+    try:
+        lib.pfem_ell_pattern.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.pfem_ell_pattern.restype = ctypes.c_int64
+        lib.pfem_sg_build.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.pfem_sg_build.restype = ctypes.c_void_p
+        lib.pfem_sg_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.pfem_sg_fill.restype = ctypes.c_int
+        lib.pfem_sg_free.argtypes = [ctypes.c_void_p]
+    except AttributeError:      # stale .so from an older build
+        pass
     _lib = lib
     return _lib
+
+
+def ensure_built() -> bool:
+    """Build the native library if missing (conftest does this for tests;
+    bench/CLI callers use this).  Returns availability."""
+    if available():
+        return True
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    subprocess.run(["make", "-C", os.path.join(root, "pfemfort_tpu",
+                                               "native")],
+                   check=False, capture_output=True)
+    return available()
 
 
 def available() -> bool:
@@ -91,6 +128,70 @@ def edge_cut(conn: np.ndarray, n_node: int, ncommon: int,
     return int(lib.pfem_edge_cut(_ptr(c, ctypes.c_int32), c.shape[0],
                                  c.shape[1], n_node, ncommon,
                                  _ptr(p, ctypes.c_int32)))
+
+
+def ell_pattern(elem_dof: np.ndarray, n_rows: int, lane_pad: int = 8):
+    """CSR + padded-ELL pattern + sorted scatter plan from element DOF rows
+    (the radix-sort pattern builder; assembly/pattern.py routes here).
+
+    Returns (mat_perm, mat_segids, indptr, indices, ell_k, nnz) or None when
+    unavailable / int32 ranges overflow (callers use the numpy builder)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "pfem_ell_pattern"):
+        return None
+    ed = np.ascontiguousarray(elem_dof, dtype=np.int32)
+    E, ns = ed.shape
+    n_ent = E * ns * ns
+    if n_ent >= 2**31:
+        return None
+    mat_perm = np.empty(n_ent, dtype=np.int32)
+    mat_segids = np.empty(n_ent, dtype=np.int32)
+    indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    indices = np.empty(max(n_ent, 1), dtype=np.int32)
+    k_out = ctypes.c_int32(0)
+    nnz = lib.pfem_ell_pattern(
+        _ptr(ed, ctypes.c_int32), E, ns, n_rows, lane_pad,
+        _ptr(mat_perm, ctypes.c_int32), _ptr(mat_segids, ctypes.c_int32),
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        ctypes.byref(k_out))
+    if nnz < 0:
+        return None
+    return (mat_perm, mat_segids, indptr, indices[:nnz].copy(),
+            int(k_out.value), int(nnz))
+
+
+def sg_plan(cols_sorted: np.ndarray, src_of_slot: np.ndarray, n_cols: int,
+            sub: int):
+    """Slot-gather staging plan from the permuted, per-row-sorted ELL
+    columns (sparse/slotgather.py routes here; numpy fallback there).
+
+    Returns (qsel, vstart, rsel, eps, src) or None when unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "pfem_sg_build"):
+        return None
+    c = np.ascontiguousarray(cols_sorted, dtype=np.int64)
+    s = np.ascontiguousarray(src_of_slot, dtype=np.int64)
+    N, K = c.shape
+    tvg = np.zeros(3, dtype=np.int64)
+    h = lib.pfem_sg_build(_ptr(c, ctypes.c_int64), _ptr(s, ctypes.c_int64),
+                          N, K, n_cols, sub, _ptr(tvg, ctypes.c_int64))
+    if not h:
+        return None
+    try:
+        T, V, G = (int(v) for v in tvg)
+        qsel = np.zeros((T, G), dtype=np.int32)
+        vstart = np.zeros((T, G), dtype=np.int32)
+        rsel = np.zeros((T, G), dtype=np.int32)
+        eps = np.zeros((T, V, 128), dtype=np.int32)
+        src = np.empty((T, V, 128), dtype=np.int64)
+        lib.pfem_sg_fill(h, _ptr(qsel, ctypes.c_int32),
+                         _ptr(vstart, ctypes.c_int32),
+                         _ptr(rsel, ctypes.c_int32),
+                         _ptr(eps, ctypes.c_int32),
+                         _ptr(src, ctypes.c_int64))
+    finally:
+        lib.pfem_sg_free(h)
+    return qsel, vstart, rsel, eps, src
 
 
 def gen_tet_mesh(x0, x1, nex, y0, y1, ney, z0, z1, nez, prefix: str) -> None:

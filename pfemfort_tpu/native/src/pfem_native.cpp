@@ -15,6 +15,7 @@
 #include <cstring>
 #include <numeric>
 #include <queue>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -228,6 +229,315 @@ int pfem_gen_tet_mesh(double x0, double x1, int64_t nex, double y0, double y1,
   fclose(f);
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// ELL sparsity pattern + sorted scatter plan from element DOF rows.
+//
+// Native counterpart of the reference's MatSetValues sparsity pre-pass
+// (triapoissonparallelimpl1.F:814-825): dedupe the E*ns*ns element entry
+// (row, col) pairs into CSR + padded ELL, and emit the stable sorted
+// scatter permutation/segment ids the device segment-sum assembly uses.
+// An LSD radix sort (16-bit digits, skip-uniform passes) over packed
+// row*n_rows+col keys replaces numpy's unique+argsort+searchsorted —
+// ~6x faster at the 85M-entry flagship size, which is the dominant cost
+// of every unstructured solve's host setup.
+//
+// Entry t = (i*ns + j)*n_elem + e matches the (ns, ns, E) element-minor Ke
+// flattening (assembly/pattern.py:_entry_arrays).  Invalid entries (either
+// DOF eliminated, sentinel -1) sort last and map to segment n_rows*K.
+//
+// Outputs (caller-allocated): mat_perm[n_ent] i32, mat_segids[n_ent] i32
+// (non-decreasing), indptr[n_rows+1] i64, indices[>=nnz] i32, k_out = ELL
+// slot count.  Returns nnz, or -1 when int32 ranges would overflow
+// (callers fall back to the numpy builder).
+// ---------------------------------------------------------------------------
+int64_t pfem_ell_pattern(const int32_t* elem_dof, int64_t n_elem, int32_t ns,
+                         int64_t n_rows, int32_t lane_pad, int32_t* mat_perm,
+                         int32_t* mat_segids, int64_t* indptr,
+                         int32_t* indices, int32_t* k_out) {
+  const int64_t n_ent = n_elem * (int64_t)ns * ns;
+  if (n_ent >= (int64_t)INT32_MAX) return -1;
+  if (n_rows >= 3037000499LL) return -1;  // n_rows^2 must fit in 63 bits
+  const uint64_t SENT = (uint64_t)n_rows * (uint64_t)n_rows;
+
+  std::vector<uint64_t> keys(n_ent), keys2(n_ent);
+  std::vector<uint32_t> idx(n_ent), idx2(n_ent);
+  {
+    // key build, split over (i, j) pairs across 2 threads (disjoint writes)
+    auto build = [&](int32_t p0, int32_t p1) {
+      for (int32_t p = p0; p < p1; ++p) {
+        const int32_t i = p / ns, j = p % ns;
+        uint64_t* kp = keys.data() + (int64_t)p * n_elem;
+        for (int64_t e = 0; e < n_elem; ++e) {
+          const int32_t r = elem_dof[e * ns + i];
+          const int32_t c = elem_dof[e * ns + j];
+          kp[e] = (r >= 0 && c >= 0) ? (uint64_t)r * n_rows + c : SENT;
+        }
+      }
+    };
+    const int32_t np = ns * ns;
+    std::thread th(build, 0, np / 2);
+    build(np / 2, np);
+    th.join();
+  }
+  for (int64_t t = 0; t < n_ent; ++t) idx[t] = (uint32_t)t;
+
+  int bits = 1;
+  while ((SENT >> bits) != 0) ++bits;
+  const int RB = 16;
+  const int RSIZE = 1 << RB;
+  // 2-thread stable LSD radix: per-thread histograms on disjoint halves,
+  // interleaved bucket offsets keep thread-0 entries before thread-1's
+  std::vector<int64_t> h0(RSIZE), h1(RSIZE), o0(RSIZE), o1(RSIZE);
+  uint64_t* ka = keys.data();
+  uint64_t* kb = keys2.data();
+  uint32_t* ia = idx.data();
+  uint32_t* ib = idx2.data();
+  const int64_t half = n_ent / 2;
+  for (int shift = 0; shift < bits; shift += RB) {
+    auto histo = [&](std::vector<int64_t>& h, int64_t t0, int64_t t1) {
+      std::fill(h.begin(), h.end(), 0);
+      for (int64_t t = t0; t < t1; ++t) h[(ka[t] >> shift) & (RSIZE - 1)]++;
+    };
+    std::thread th(histo, std::ref(h0), 0, half);
+    histo(h1, half, n_ent);
+    th.join();
+    int nzb = 0;
+    for (int b = 0; b < RSIZE && nzb < 2; ++b)
+      if (h0[b] + h1[b]) ++nzb;
+    if (nzb <= 1) continue;  // uniform digit: pass is a no-op
+    int64_t sum = 0;
+    for (int b = 0; b < RSIZE; ++b) {
+      o0[b] = sum;
+      o1[b] = sum + h0[b];
+      sum += h0[b] + h1[b];
+    }
+    auto scatter = [&](std::vector<int64_t>& o, int64_t t0, int64_t t1) {
+      for (int64_t t = t0; t < t1; ++t) {
+        const int64_t p = o[(ka[t] >> shift) & (RSIZE - 1)]++;
+        kb[p] = ka[t];
+        ib[p] = ia[t];
+      }
+    };
+    std::thread th2(scatter, std::ref(o0), 0, half);
+    scatter(o1, half, n_ent);
+    th2.join();
+    std::swap(ka, kb);
+    std::swap(ia, ib);
+  }
+
+  int64_t nvalid = n_ent;
+  while (nvalid > 0 && ka[nvalid - 1] == SENT) --nvalid;
+
+  // pass 1: unique keys -> indices + per-row counts (in indptr[r+1])
+  std::memset(indptr, 0, sizeof(int64_t) * (n_rows + 1));
+  int64_t nnz = 0;
+  uint64_t prev = ~0ull;
+  for (int64_t t = 0; t < nvalid; ++t) {
+    if (ka[t] != prev) {
+      prev = ka[t];
+      const int64_t r = (int64_t)(ka[t] / (uint64_t)n_rows);
+      indptr[r + 1]++;
+      indices[nnz++] = (int32_t)(ka[t] - (uint64_t)r * n_rows);
+    }
+  }
+  int64_t max_deg = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    max_deg = std::max(max_deg, indptr[r + 1]);
+    indptr[r + 1] += indptr[r];
+  }
+  const int64_t K =
+      ((std::max(max_deg, (int64_t)1)) + lane_pad - 1) / lane_pad * lane_pad;
+  if (n_rows * K + 1 >= (int64_t)INT32_MAX) return -1;
+  *k_out = (int32_t)K;
+
+  // pass 2: per-entry sorted segment ids (ELL-flat, monotone) + permutation
+  const int32_t dropped = (int32_t)(n_rows * K);
+  prev = ~0ull;
+  int64_t r_cur = -1, within = -1;
+  int32_t flat = dropped;
+  for (int64_t t = 0; t < n_ent; ++t) {
+    if (t < nvalid) {
+      if (ka[t] != prev) {
+        prev = ka[t];
+        const int64_t r = (int64_t)(ka[t] / (uint64_t)n_rows);
+        if (r != r_cur) {
+          r_cur = r;
+          within = 0;
+        } else {
+          ++within;
+        }
+        flat = (int32_t)(r * K + within);
+      }
+      mat_segids[t] = flat;
+    } else {
+      mat_segids[t] = dropped;
+    }
+    mat_perm[t] = (int32_t)ia[t];
+  }
+  return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// Slot-gather plan construction (sparse/slotgather.py:build_slotgather_plan
+// steps B-G): re-pack a sorted padded-ELL pattern into the (tile, virtual
+// row, lane) staging layout of the Pallas slot-gather SpMV kernel.
+//
+// The numpy construction is a chain of global sorts/cumsums over all nnz;
+// here each 128-row tile is processed locally (collect -> small sort ->
+// dedupe (b, j) virtual rows -> 8-row window groups), which is cache-
+// resident and ~10x faster.  Semantics match the numpy builder exactly
+// (tests compare the two bit-for-bit).
+//
+// cols: (N, K) int64, permuted + per-row ascending with sentinel >= n_cols;
+// src:  (N, K) int64, flat index into the ELL value stream for each slot.
+// Two-phase API (V and G are data-dependent): build -> dims -> fill -> free.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct SGEntry {
+  int64_t b;
+  int32_t j, lane, eps;
+  int64_t src;
+};
+
+struct SGHandle {
+  int64_t N, n_cols;
+  int32_t K, sub;
+  int64_t T, V, G;
+  std::vector<std::vector<SGEntry>> tiles;
+};
+
+// Walk one tile's virtual-row windows; count groups (fill = null) or write
+// qsel/vstart/rsel (fill != null).  win must hold V entries.
+static int64_t sg_tile_groups(const std::vector<SGEntry>& ents, int64_t V,
+                              int64_t* win, int32_t* qsel, int32_t* vstart,
+                              uint32_t* rsel) {
+  int64_t nv = 0, pb = -1;
+  int32_t pj = -1;
+  for (const SGEntry& e : ents) {
+    if (e.b != pb || e.j != pj) {
+      win[nv++] = e.b;
+      pb = e.b;
+      pj = e.j;
+    }
+  }
+  for (int64_t v = nv; v < V; ++v) win[v] = v ? win[v - 1] : 0;
+  int64_t g = 0, p = 0, prevq = -1;
+  for (int64_t v = 0; v < V; ++v) {
+    const int64_t q = win[v] >> 3;
+    if (v == 0 || q != prevq) {
+      p = 0;
+      prevq = q;
+    } else {
+      ++p;
+    }
+    if ((p & 7) == 0) {
+      ++g;
+      if (qsel) {
+        qsel[g - 1] = (int32_t)q;
+        vstart[g - 1] = (int32_t)v;
+      }
+    }
+    if (rsel) rsel[g - 1] |= (uint32_t)(win[v] & 7) << (4 * (p & 7));
+  }
+  return g;
+}
+
+}  // namespace
+
+void* pfem_sg_build(const int64_t* cols, const int64_t* src, int64_t N,
+                    int32_t K, int64_t n_cols, int32_t sub, int64_t* tvg) {
+  SGHandle* h = new SGHandle;
+  h->N = N;
+  h->n_cols = n_cols;
+  h->K = K;
+  h->sub = sub;
+  const int64_t n_tiles = (N + 127) / 128;
+  h->T = (n_tiles + (int64_t)128 * sub / 128 - 1);  // placeholder, set below
+  h->T = ((N + (int64_t)128 * sub - 1) / ((int64_t)128 * sub)) * sub;
+  h->tiles.resize(h->T);
+  int64_t max_nv = 1;
+  for (int64_t t = 0; t < h->T; ++t) {
+    std::vector<SGEntry>& ents = h->tiles[t];
+    const int64_t r0 = t * 128, r1 = std::min(N, r0 + 128);
+    for (int64_t r = r0; r < r1; ++r) {
+      int64_t pb = -1;
+      int32_t j = 0;
+      const int64_t* crow = cols + r * K;
+      const int64_t* srow = src + r * K;
+      for (int32_t k = 0; k < K; ++k) {
+        const int64_t c = crow[k];
+        if (c >= n_cols) break;  // per-row ascending; sentinel tail
+        const int64_t b = c >> 7;
+        j = (b == pb) ? j + 1 : 0;
+        pb = b;
+        ents.push_back(SGEntry{b, j, (int32_t)(r - r0), (int32_t)(c & 127),
+                               srow[k]});
+      }
+    }
+    std::sort(ents.begin(), ents.end(),
+              [](const SGEntry& a, const SGEntry& b) {
+                if (a.b != b.b) return a.b < b.b;
+                if (a.j != b.j) return a.j < b.j;
+                return a.lane < b.lane;
+              });
+    int64_t nv = 0, pb = -1;
+    int32_t pj = -1;
+    for (const SGEntry& e : ents)
+      if (e.b != pb || e.j != pj) {
+        ++nv;
+        pb = e.b;
+        pj = e.j;
+      }
+    max_nv = std::max(max_nv, nv);
+  }
+  h->V = (max_nv + 7) / 8 * 8;
+  std::vector<int64_t> win(h->V);
+  int64_t max_g = 1;
+  for (int64_t t = 0; t < h->T; ++t)
+    max_g = std::max(max_g, sg_tile_groups(h->tiles[t], h->V, win.data(),
+                                           nullptr, nullptr, nullptr));
+  h->G = max_g;
+  tvg[0] = h->T;
+  tvg[1] = h->V;
+  tvg[2] = h->G;
+  return h;
+}
+
+int pfem_sg_fill(void* handle, int32_t* qsel, int32_t* vstart, int32_t* rsel,
+                 int32_t* eps, int64_t* src_out) {
+  SGHandle* h = (SGHandle*)handle;
+  const int64_t T = h->T, V = h->V, G = h->G;
+  std::fill(eps, eps + T * V * 128, 0);
+  std::fill(src_out, src_out + T * V * 128, (int64_t)-1);
+  std::vector<int64_t> win(V);
+  for (int64_t t = 0; t < T; ++t) {
+    const std::vector<SGEntry>& ents = h->tiles[t];
+    // virtual-row assignment in sorted (b, j) order
+    int64_t nv = -1, pb = -1;
+    int32_t pj = -1;
+    for (const SGEntry& e : ents) {
+      if (e.b != pb || e.j != pj) {
+        ++nv;
+        pb = e.b;
+        pj = e.j;
+      }
+      eps[(t * V + nv) * 128 + e.lane] = e.eps;
+      src_out[(t * V + nv) * 128 + e.lane] = e.src;
+    }
+    int32_t* qs = qsel + t * G;
+    int32_t* vs = vstart + t * G;
+    uint32_t* rs = (uint32_t*)rsel + t * G;
+    std::fill(qs, qs + G, 0);
+    std::fill(rs, rs + G, 0u);
+    for (int64_t g = 0; g < G; ++g) vs[g] = (int32_t)V;  // pad groups
+    sg_tile_groups(ents, V, win.data(), qs, vs, rs);
+  }
+  return 0;
+}
+
+void pfem_sg_free(void* handle) { delete (SGHandle*)handle; }
 
 // ---------------------------------------------------------------------------
 // Legacy-VTK writer (layout of writervtk.F): cells + procid + nodal solution.

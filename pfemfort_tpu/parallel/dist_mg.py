@@ -283,10 +283,50 @@ def _prolong_shard(setup: DistMGSetup, ec_full, shard_idx):
     return interp_axis(interp_axis(z, 1), 2)
 
 
+def fine_spmv_factory(setup: DistMGSetup, vals_l, axis: str) -> Callable:
+    """x_l -> (A x)_l for the sharded fine level, through the fastest
+    available in-shard form: the Pallas DIA kernel on TPU (the 468 GB/s
+    in-shard kernel the plain distributed CG routes to), else the N-D
+    lattice-stencil sliced-window form, else 1-D shifted slices.  Build
+    OUTSIDE the CG loop — the Pallas value-stream pad runs once per trace."""
+    offsets, w = setup.offsets, setup.w
+    Prow = setup.rows_per_shard
+    use_pallas = False
+    try:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and vals_l.dtype == jnp.float32
+                      and Prow >= 1 << 14)
+    except Exception:
+        pass
+    if use_pallas:
+        from pfemfort_tpu.parallel.halo import spmv_dia_halo_pallas
+        from pfemfort_tpu.sparse.dia import DIAMatrix
+        from pfemfort_tpu.sparse.pallas_spmv import prepare_dia_pallas
+
+        Pd = prepare_dia_pallas(DIAMatrix(
+            vals=vals_l, offsets=tuple(offsets), n_rows=Prow, lattice=None))
+        return lambda x_l: spmv_dia_halo_pallas(Pd, x_l, w, axis)
+
+    from pfemfort_tpu.parallel.halo import (
+        lattice_halo_plan, spmv_dia_halo_lattice)
+
+    lat = (setup.n_shards * setup.planes_per_shard, setup.nny,
+           setup.nnx * setup.ndof)
+    plan = lattice_halo_plan(offsets, lat)
+    if plan is not None and plan[1] * setup.plane_dofs <= Prow:
+        shifts, wp = plan
+        return lambda x_l: spmv_dia_halo_lattice(shifts, vals_l, x_l, lat,
+                                                 wp, axis)
+    return lambda x_l: spmv_dia_halo(offsets, vals_l, x_l, w, axis)
+
+
 def dist_gmg_preconditioner(setup: DistMGSetup, vals_l, inv_diag_l, mask_l,
-                            coarse_arrays: GMGArrays, axis: str) -> Callable:
+                            coarse_arrays: GMGArrays, axis: str,
+                            spmv: Optional[Callable] = None) -> Callable:
     """r_l -> M^{-1} r_l inside shard_map: sharded fine smoothing/transfers
-    + the replicated coarse tail.  Build OUTSIDE the CG loop."""
+    + the replicated coarse tail.  Build OUTSIDE the CG loop.  `spmv`: the
+    fine-level shard-local operator (fine_spmv_factory); built here when
+    not supplied."""
     meta_c = setup.coarse[1]
     pp = setup.planes_per_shard
     nny, nnx, ndof = setup.nny, setup.nnx, setup.ndof
@@ -295,16 +335,29 @@ def dist_gmg_preconditioner(setup: DistMGSetup, vals_l, inv_diag_l, mask_l,
     nnz_c = (setup.nnz_true - 1) // 2 + 1      # true coarse planes
     zc_pad = (setup.n_shards * pp) // 2 + 1
     nyc, nxc = (nny - 1) // 2 + 1, (nnx - 1) // 2 + 1
-    # Coarse-level SpMVs stay on the portable XLA stencil (spmv_dia) rather
-    # than sparse.ops.dia_operator: the Pallas kernel has not been validated
-    # INSIDE shard_map (its value-stream pre-pad would also re-run per trace
-    # here), and the coarse tail is O(N/8) of the work — the fine level's
-    # halo SpMV dominates.
-    coarse_ops = tuple(
-        (lambda A: (lambda x: _dia_spmv(A, x)))(A) for A in coarse_arrays.mats)
+    # Coarse-level SpMVs go through sparse.ops.dia_operator — on TPU that is
+    # the Pallas DIA kernel (~6x the XLA stencil), with its value-stream
+    # pre-pad done HERE, once per trace, outside the CG loop.  The coarse
+    # arrays are replicated (P() spec) so each device runs the kernel on its
+    # local copy; validated on-chip by tools/tpu_smoke.py stage "dist_mg".
+    from pfemfort_tpu.sparse.ops import dia_operator
+    coarse_ops = tuple(dia_operator(A) for A in coarse_arrays.mats)
 
-    def spmv(x_l):
-        return spmv_dia_halo(offsets, vals_l, x_l, w, axis)
+    # Chebyshev coarse tail when the coarsening chain sticks on an odd
+    # dimension above the dense-inverse cap (build_gmg returns the
+    # (1, 1) coarse_inv placeholder in that case — _vcycle must NOT use it)
+    coarse_apply = None
+    if meta_c.coarse_cheby is not None:
+        from pfemfort_tpu.solve.precond import chebyshev_preconditioner
+
+        lmax, lmin, deg = meta_c.coarse_cheby
+        inv_d = coarse_arrays.inv_diags[-1]
+        diag_c = jnp.where(inv_d != 0, 1.0 / inv_d, 1.0)
+        coarse_apply = chebyshev_preconditioner(
+            coarse_ops[-1], diag_c, lmax=lmax, lmin=lmin, degree=deg)
+
+    if spmv is None:
+        spmv = fine_spmv_factory(setup, vals_l, axis)
 
     def precond(r_l):
         # keep the ORIGINAL r_l for the identity-on-BC return below (matching
@@ -320,7 +373,7 @@ def dist_gmg_preconditioner(setup: DistMGSetup, vals_l, inv_diag_l, mask_l,
         rc_all = jax.lax.all_gather(rc_l, axis, tiled=True)
         rc = rc_all[:nnz_c].reshape(-1)                # replicated coarse r
         rc = coarse_arrays.masks[0] * rc
-        ec = _vcycle(coarse_arrays, meta_c, 0, rc, coarse_ops)
+        ec = _vcycle(coarse_arrays, meta_c, 0, rc, coarse_ops, coarse_apply)
 
         ec_lat = ec.reshape(nnz_c, nyc, nxc, ndof)
         ec_pad = jnp.zeros((zc_pad, nyc, nxc, ndof), dtype=ec.dtype)
@@ -333,11 +386,6 @@ def dist_gmg_preconditioner(setup: DistMGSetup, vals_l, inv_diag_l, mask_l,
         return jnp.where(mask_l > 0, e, r_l)
 
     return precond
-
-
-def _dia_spmv(A, x):
-    from pfemfort_tpu.sparse.dia import spmv_dia
-    return spmv_dia(A, x)
 
 
 # ---------------------------------------------------------------------------
@@ -357,6 +405,7 @@ def solve_sharded_mg(
     nu: Optional[int] = None,
     omega: Optional[float] = None,
     axis: str = "shard",
+    coarsest_max_dof: int = 4096,
 ):
     """Multi-chip MG-preconditioned CG on the full node-dof system.
 
@@ -380,7 +429,8 @@ def solve_sharded_mg(
 
     t0 = time.perf_counter()
     setup = build_dist_mg_setup(mesh, ndof, dirichlet, element_fn, n_shards,
-                                dtype=dtype, nu=nu, omega=omega)
+                                dtype=dtype, nu=nu, omega=omega,
+                                coarsest_max_dof=coarsest_max_dof)
     t_setup = time.perf_counter() - t0
 
     def put(a, spec):
@@ -402,11 +452,12 @@ def solve_sharded_mg(
         diag = vals_l[d0]
         inv_diag = jnp.where(diag != 0, 1.0 / diag, 0.0)
         mask_l = jnp.where(bc_l, 0.0, 1.0).astype(vals_l.dtype)
+        spmv_fine = fine_spmv_factory(setup, vals_l, axis)
         precond = dist_gmg_preconditioner(setup, vals_l, inv_diag, mask_l,
-                                          ca, axis)
+                                          ca, axis, spmv=spmv_fine)
 
         def operator(x_l):
-            return spmv_dia_halo(setup.offsets, vals_l, x_l, setup.w, axis)
+            return spmv_fine(x_l)
 
         def dot(a, c):
             return jax.lax.psum(

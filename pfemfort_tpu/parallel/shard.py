@@ -124,9 +124,6 @@ def build_sharded_system(
         eq_node = dofmap.assy_for_soln // ndof      # (total_dof,)
         eq_part = node_part[eq_node]
 
-        counts = np.bincount(eq_part, minlength=n_shards)
-        P = round_up(max(int(counts.max(initial=1)), 1), lane_pad)
-
         # Within-shard order: RCM of each shard's NODE subgraph (dofs of a
         # node stay adjacent, preserving the block-Jacobi node blocks).
         # Bandwidth-reduced local numbering is what lets the slot-gather
@@ -135,15 +132,47 @@ def build_sharded_system(
         # hundreds on the reference's unstructured meshes.
         node_rank = _within_shard_rcm(mesh, node_part, n_shards)
 
-        order = np.lexsort((np.arange(dofmap.total_dof),
-                            node_rank[eq_node], eq_part))
-        within = np.zeros(dofmap.total_dof, dtype=np.int64)
-        start = 0
-        for s in range(n_shards):
-            c = counts[s]
-            within[order[start:start + c]] = np.arange(c)
-            start += c
-        eq_perm = (eq_part.astype(np.int64) * P + within).astype(np.int64)
+        if ndof > 1:
+            # NODE-ALIGNED rows: every node with >=1 free equation owns ndof
+            # consecutive row slots (component d at slot + d); nodes with
+            # partially-eliminated dofs leave padding rows instead of
+            # shifting later rows.  Local blocks r//ndof are then TRUE node
+            # blocks, which is what makes the per-shard block-Jacobi
+            # (the reference default PC, solverpetsc.F:206) extractable by
+            # pure strided slicing on the ELL values.
+            eq_comp = dofmap.assy_for_soln % ndof
+            has_free = np.zeros(mesh.n_node, dtype=bool)
+            has_free[eq_node] = True
+            nodes_idx = np.nonzero(has_free)[0]
+            npart = node_part[nodes_idx].astype(np.int64)
+            order_n = np.lexsort((nodes_idx, node_rank[nodes_idx], npart))
+            node_slot = np.full(mesh.n_node, -1, dtype=np.int64)
+            countsn = np.bincount(npart, minlength=n_shards)
+            startn = 0
+            for s in range(n_shards):
+                c = countsn[s]
+                node_slot[nodes_idx[order_n[startn:startn + c]]] = \
+                    np.arange(c)
+                startn += c
+            # P a multiple of lane_pad AND ndof so (P//ndof, ndof) reshapes
+            # and lane alignment both hold
+            P = round_up(max(int(countsn.max(initial=1)), 1) * ndof,
+                         lane_pad * ndof)
+            eq_perm = (eq_part.astype(np.int64) * P
+                       + node_slot[eq_node] * ndof + eq_comp)
+        else:
+            counts = np.bincount(eq_part, minlength=n_shards)
+            P = round_up(max(int(counts.max(initial=1)), 1), lane_pad)
+            order = np.lexsort((np.arange(dofmap.total_dof),
+                                node_rank[eq_node], eq_part))
+            within = np.zeros(dofmap.total_dof, dtype=np.int64)
+            start = 0
+            for s in range(n_shards):
+                c = counts[s]
+                within[order[start:start + c]] = np.arange(c)
+                start += c
+            eq_perm = (eq_part.astype(np.int64) * P + within).astype(
+                np.int64)
 
     # Remap elem_dof into padded row space (-1 sentinels preserved).
     elem_dof = dofmap.elem_dof

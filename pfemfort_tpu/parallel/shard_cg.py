@@ -93,6 +93,40 @@ def block_jacobi_dia_preconditioner(offsets, vals_l: jax.Array, nd: int):
     return apply
 
 
+def block_jacobi_ell_preconditioner(cols_local: jax.Array,
+                                    vals_l: jax.Array, nd: int):
+    """PC=BJACOBI with per-node (nd x nd) blocks extracted from the shard's
+    LOCAL ELL block — the reference's default preconditioner
+    (solverpetsc.F:206) on the unstructured distributed path.
+
+    Requires the node-aligned row layout (parallel/shard.py: each node owns
+    nd consecutive local rows), so entry (r, c) is in-block iff c is an OWN
+    column (< P) in the same nd-aligned group.  Extraction is pure strided
+    slicing + masked row reductions (no gathers); padding rows invert to
+    identity inside `_inv_small_blocks`.
+    """
+    P_, K = vals_l.shape
+    m = P_ // nd
+    rows = jnp.arange(P_, dtype=cols_local.dtype)[:, None]
+    inblk = (cols_local < P_) & ((cols_local // nd) == (rows // nd))
+    contrib = jnp.where(inblk, vals_l, 0.0)
+    cmod = jnp.where(inblk, cols_local % nd, nd)       # nd = dropped
+    cols = []
+    for a in range(nd):
+        c_a = cmod[a::nd]                              # (m, K)
+        v_a = contrib[a::nd]
+        row = [jnp.sum(jnp.where(c_a == b, v_a, 0.0), axis=1)
+               for b in range(nd)]
+        cols.append(jnp.stack(row, -1))
+    B = jnp.stack(cols, -2)                            # (m, nd, nd)
+    Binv = _inv_small_blocks(B)
+
+    def apply(r):
+        return jnp.einsum("kab,kb->ka", Binv,
+                          r.reshape(m, nd)).reshape(-1)
+    return apply
+
+
 def distributed_cg_solve(
     device_mesh: JMesh,
     cols: jax.Array,       # (n_rows_padded, K) int32, global column ids
@@ -166,6 +200,7 @@ def distributed_cg_solve_ell(
     maxiter: int = 10_000,
     axis: str = "shard",
     sg=None,
+    ndof_block: int = 1,
 ):
     """Jacobi-CG over the unstructured per-shard ELL with the pairwise
     ghost exchange (parallel/dist_ell.py:spmv_ell_halo): per-iteration comm
@@ -175,7 +210,11 @@ def distributed_cg_solve_ell(
     `sg`: optional stacked slot-gather plan from
     `dist_ell.build_ell_halo_slotgather` — routes every shard's in-shard
     SpMV through the Pallas slot-gather kernel (TPU; ~100x the XLA
-    gather's bandwidth)."""
+    gather's bandwidth).
+
+    `ndof_block` > 1 selects per-node block-Jacobi preconditioning (the
+    reference default PC=BJACOBI, solverpetsc.F:206); requires the
+    node-aligned shard layout (parallel/shard.py builds it for ndof > 1)."""
     from pfemfort_tpu.parallel.dist_ell import (
         spmv_ell_halo, spmv_ell_halo_sg)
 
@@ -218,9 +257,14 @@ def distributed_cg_solve_ell(
             pair = jax.lax.psum(pair, axis)
             return pair[0], pair[1]
 
+        if ndof_block > 1 and P_ % ndof_block == 0:
+            precond = block_jacobi_ell_preconditioner(cols_l, vals_l,
+                                                      ndof_block)
+        else:
+            precond = jacobi_preconditioner(local_diag())
         x_l, stats = cg_solve(
             operator, b_l,
-            precond=jacobi_preconditioner(local_diag()),
+            precond=precond,
             rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
         return jax.lax.all_gather(x_l, axis, tiled=True), stats
 

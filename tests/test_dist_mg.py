@@ -115,3 +115,18 @@ def test_driver_mg_falls_back_on_unstructured():
     assert bool(np.asarray(res.stats.converged))
     u_exact = (mesh.coords ** 2).sum(axis=1)
     assert np.abs(res.u_full - u_exact).max() < 1e-7
+
+
+def test_dist_mg_chebyshev_coarse_tail():
+    """A coarse chain stuck above the dense-inverse cap takes the Chebyshev
+    tail: dist_gmg_preconditioner must build coarse_apply from
+    meta.coarse_cheby (a (1,1) coarse_inv placeholder would TypeError at
+    trace time and silently crash precond='mg' solves)."""
+    dm = _mesh_or_skip(4)
+    mesh, dbc = generate.box_tet(0, 1, 12, 0, 1, 12, 0, 1, 12)
+    u, stats, _ = solve_sharded_mg(
+        mesh, 1, dbc, POISSON, device_mesh=dm, rtol=1e-8, maxiter=60,
+        coarsest_max_dof=50)   # force the 4^3-lattice tail above the cap
+    assert bool(np.asarray(stats.converged)), stats
+    u_exact = (mesh.coords ** 2).sum(axis=1)
+    assert np.abs(np.asarray(u)[: mesh.n_node] - u_exact).max() < 5e-5

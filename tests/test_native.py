@@ -62,3 +62,79 @@ def test_native_cli_partition(tmp_path):
     assert "edge-cut" in out.stdout
     text = open(str(tmp_path / "part.vtk")).read()
     assert "SCALARS procid int 1" in text
+
+
+def test_native_ell_pattern_matches_numpy():
+    """The C++ radix-sort pattern builder must equal the numpy builder
+    bit-for-bit (same CSR, ELL, scatter permutation and segment ids)."""
+    import numpy as np
+
+    from pfemfort_tpu import native
+    from pfemfort_tpu.assembly import pattern as pat
+    from pfemfort_tpu.dofs.dofmap import build_dofmap
+    from pfemfort_tpu.mesh import generate
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    mesh, dbc = generate.box_tet(0, 1, 5, 0, 1, 5, 0, 1, 8)
+    perm = np.random.default_rng(0).permutation(mesh.n_node)
+    mesh = mesh.renumbered(perm.astype(np.int64))
+    dbc = dbc.copy()
+    dbc[:, 0] = perm[dbc[:, 0].astype(np.int64)]
+    for ndof in (1, 3):
+        dm = build_dofmap(mesh, ndof, dbc)
+        a = pat.build_pattern(dm.elem_dof, dm.total_dof, layout="ell")
+        orig = native.ell_pattern
+        native.ell_pattern = lambda *x, **k: None
+        try:
+            b = pat.build_pattern(dm.elem_dof, dm.total_dof, layout="ell")
+        finally:
+            native.ell_pattern = orig
+        assert (a.nnz, a.ell_k) == (b.nnz, b.ell_k)
+        for f in ("indptr", "indices", "ell_cols", "mat_perm",
+                  "mat_segids"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f)
+
+
+def test_native_sg_plan_matches_numpy():
+    """The C++ per-tile slot-gather plan builder must equal the numpy
+    builder bit-for-bit across banded / random / RCM-ordered / rectangular
+    (ghost-extended) patterns."""
+    import numpy as np
+
+    from pfemfort_tpu import native
+    from pfemfort_tpu.sparse import slotgather as sgm
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+
+    def compare(cols, n_rows, order=None, n_cols=None, sub=32):
+        a = sgm.build_slotgather_plan(cols, n_rows, order=order,
+                                      n_cols=n_cols, sub=sub)
+        orig = native.sg_plan
+        native.sg_plan = lambda *x, **k: None
+        try:
+            b = sgm.build_slotgather_plan(cols, n_rows, order=order,
+                                          n_cols=n_cols, sub=sub)
+        finally:
+            native.sg_plan = orig
+        assert (a.T, a.V, a.G) == (b.T, b.V, b.G)
+        for f in ("qsel", "vstart", "rsel", "eps", "src"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                          err_msg=f)
+
+    rng = np.random.default_rng(1)
+    N, K = 2000, 6
+    cols = np.sort(rng.integers(0, N, (N, K)), axis=1).astype(np.int64)
+    cols[::5, -1] = N + 7
+    compare(cols, N)
+    offs = np.arange(-4, 5)
+    band = np.clip(np.sort(np.arange(N)[:, None] + offs, axis=1),
+                   0, N - 1).astype(np.int64)
+    compare(band, N)
+    rect = np.sort(rng.integers(0, 2400, (N, 8)), axis=1).astype(np.int64)
+    compare(rect, N, n_cols=2400, sub=8)

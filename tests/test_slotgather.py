@@ -133,3 +133,36 @@ def test_reference_executor_cg_converges():
     assert np.sqrt(r @ r) < 1e-4 * np.linalg.norm(b)
     y_ref = _ell_spmv_np(cols, vals, x, N)
     assert np.abs(y_ref - b).max() < 1e-3
+
+
+def test_pad_plan_unequal_dims_stack():
+    """pad_plan to uniform (T, V, G): the max-V plan receives extra pad
+    groups with NO new virtual rows — those must stage the scratch region,
+    not re-stage real rows V-8..V-1 from window 0 (which silently corrupted
+    the max-V shard of a stacked multi-shard plan)."""
+    from pfemfort_tpu.sparse.slotgather import pad_plan, uniform_dims
+
+    rng = np.random.default_rng(7)
+    N = 16384
+    # plan A: wide band -> large V, few window groups
+    offs = np.arange(-12, 13)
+    colsA = np.clip(np.sort(np.arange(N)[:, None] + offs, axis=1),
+                    0, N - 1).astype(np.int64)
+    # plan B: few virtual rows but spread over far-apart aligned windows
+    # (each its own q) -> small V, MANY groups
+    lanes = np.arange(N, dtype=np.int64) % 128
+    colsB = np.stack([b * 8 * 128 + lanes for b in (0, 3, 7, 11)],
+                     axis=1)
+    colsB = np.minimum(colsB, N - 1)
+    plans = [build_slotgather_plan(colsA, N), build_slotgather_plan(colsB, N)]
+    assert plans[0].V > plans[1].V          # A is the max-V plan
+    T, V, G = uniform_dims(plans)
+    assert G > plans[0].G                   # A needs extra (row-less) groups
+    for cols, plan in zip((colsA, colsB), plans):
+        vals = rng.standard_normal(cols.shape).astype(np.float32)
+        x = rng.standard_normal(N).astype(np.float32)
+        y_ref = _ell_spmv_np(cols, vals, x, N)
+        padded = pad_plan(plan, T, V, G)
+        y = apply_slotgather_reference(padded, _pack_np(padded, vals), x)
+        scale = max(np.abs(y_ref).max(), 1e-30)
+        assert np.abs(y - y_ref).max() / scale < 1e-5
