@@ -20,6 +20,8 @@ so the baseline is an estimate of PETSc MPIAIJ SpMV on one modern CPU socket:
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -29,9 +31,67 @@ BASELINE_NNZ_PER_S = 1.0e9
 PEAK_HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5": 819.0,
                  "TPU v4": 1228.0, "TPU v6 lite": 1640.0}
 
+# Global wall-clock budget (seconds).  The driver kills the bench with an
+# external timeout; staying inside our OWN deadline is what guarantees the
+# final JSON line is printed and every completed stage is recorded
+# (VERDICT r3 weak #1: rc=124 recorded NOTHING for the round-3 stages).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+_T0 = time.perf_counter()
+_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_PARTIAL.json")
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - _T0)
+
 
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+class StageTimeout(Exception):
+    pass
+
+
+class stage_guard:
+    """SIGALRM-based in-process stage timeout: a stuck remote compile
+    raises StageTimeout in THIS process (the process itself keeps running
+    and exits normally — killing a TPU process mid-op wedges the tunnel)."""
+
+    def __init__(self, name: str, cap_s: float):
+        self.name = name
+        self.cap = max(int(min(cap_s, _remaining() - 15.0)), 1)
+
+    def __enter__(self):
+        def handler(signum, frame):
+            raise StageTimeout(f"{self.name} exceeded {self.cap}s")
+        self._old = signal.signal(signal.SIGALRM, handler)
+        signal.alarm(self.cap)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def _flush_partial(detail: dict, stage: str):
+    """Record finished-stage evidence NOW: a cumulative partial file in the
+    repo plus a compact per-stage line on stderr (the driver records the
+    stderr tail even when the run is killed)."""
+    try:
+        with open(_PARTIAL_PATH, "w") as f:
+            json.dump({"stage_done": stage,
+                       "elapsed_s": time.perf_counter() - _T0,
+                       "detail": detail}, f, default=float)
+    except Exception:
+        pass
+    sub = detail.get(stage, {k: v for k, v in detail.items()
+                             if not isinstance(v, dict)})
+    try:
+        _log(f"DONE {stage}: " + json.dumps(sub, default=float)[:900])
+    except Exception:
+        pass
 
 
 def _sync(*arrays):
@@ -373,6 +433,15 @@ def large_stage(n: int, detail: dict):
     _log(f"[48M] assembly {t_asm:.2f}s -> {mesh.n_elem/t_asm/1e6:.1f}M "
          f"elems/s")
     del coords_e
+    l_det = detail.setdefault("large", {})
+    l_det.update({
+        "mesh": f"tet {n}x{n}x{n}x6 = {mesh.n_elem} elems",
+        "n_elem": int(mesh.n_elem),
+        "n_dof": int(dofmap.total_dof),
+        "host_setup_s": float(t_host),
+        "assembly_s": float(t_asm),
+        "assembly_elems_per_s": float(mesh.n_elem / t_asm),
+    })
 
     N = dofmap.total_dof
     D = len(A.offsets)
@@ -399,6 +468,14 @@ def large_stage(n: int, detail: dict):
     _log(f"[48M] cg f32 {t_solve:.1f}s, {iters} iters, "
          f"~{gbps:.0f} GB/s in-solve, nodal err {err:.1e}, "
          f"converged={bool(np.asarray(stats.converged))}")
+    l_det.update({
+        "cg_iters": iters,
+        "cg_solve_s": float(t_solve),
+        "cg_converged": bool(np.asarray(stats.converged)),
+        "in_solve_gbps": float(gbps),
+        "in_solve_pct_peak": float(100 * gbps / peak),
+        "nodal_err_vs_exact": err,
+    })
     del u, A, b
 
     # --- the reference's ACTUAL target: 1e-8 true-f64 residual at 48M ---
@@ -432,22 +509,8 @@ def large_stage(n: int, detail: dict):
              f"{str(ex)[:300]}")
         refined = {"refined_error": f"{type(ex).__name__}: {str(ex)[:300]}"}
 
-    detail["large"] = {
-        "mesh": f"tet {n}x{n}x{n}x6 = {mesh.n_elem} elems",
-        "n_elem": int(mesh.n_elem),
-        "n_dof": int(N),
-        "host_setup_s": float(t_host),
-        "assembly_s": float(t_asm),
-        "assembly_elems_per_s": float(mesh.n_elem / t_asm),
-        "cg_iters": iters,
-        "cg_solve_s": float(t_solve),
-        "cg_converged": bool(np.asarray(stats.converged)),
-        "in_solve_gbps": float(gbps),
-        "in_solve_pct_peak": float(100 * gbps / peak),
-        "nodal_err_vs_exact": err,
-        **refined,
-        "total_s": float(time.perf_counter() - t_all),
-    }
+    l_det.update(refined)
+    l_det["total_s"] = float(time.perf_counter() - t_all)
 
 
 def unstructured_stage(n: int, detail: dict):
@@ -543,58 +606,86 @@ def unstructured_stage(n: int, detail: dict):
          f"GB/s ({100*xla_gbps/peak:.0f}% peak), "
          f"{nnz/best_xla/1e9:.2f} Gnnz/s")
 
+    # record evidence incrementally: a stage-guard timeout mid-slot-gather
+    # must not lose the host-setup/assembly/XLA numbers already measured
+    u_det = detail.setdefault("unstructured", {})
+    u_det.update({
+        "mesh": f"permuted tet {n}^3 x6 = {mesh.n_elem} elems",
+        "n_dof": int(N),
+        "ell_k": int(K),
+        "nnz": int(nnz),
+        "host_setup_s": float(t_host),
+        "assembly_elems_per_s": float(eps),
+        "spmv_ell_xla_gbps": float(xla_gbps),
+    })
+
     # slot-gather Pallas SpMV (the production unstructured kernel,
     # sparse/slotgather.py): RCM reorder + windowed two-stage gather
     from pfemfort_tpu.sparse import slotgather as sgm
-    t0 = time.perf_counter()
-    order = sgm.rcm_order(pattern.indptr, pattern.indices, pattern.n_rows)
-    plan = sgm.build_slotgather_plan(pattern.ell_cols, pattern.n_rows,
-                                    order=order)
-    P = sgm.prepare_slotgather(plan)
-    ord_d = jnp.asarray(plan.order)
-    inv_d = jnp.asarray(plan.inv_order)
-    t_sgplan = time.perf_counter() - t0
-    _log(f"[unstr] sg plan {t_sgplan:.1f}s  V={plan.V} G={plan.G}")
-    sg_iters = 400
+    if not sgm.slotgather_supported(pattern.n_rows):
+        u_det["sg_skipped"] = (f"n_rows {N} over the VMEM-resident cap "
+                               f"or non-TPU backend")
+        _log(f"[unstr] slot-gather skipped: {u_det['sg_skipped']}")
+    else:
+        t0 = time.perf_counter()
+        order = sgm.rcm_order(pattern.indptr, pattern.indices,
+                              pattern.n_rows)
+        plan = sgm.build_slotgather_plan(pattern.ell_cols, pattern.n_rows,
+                                         order=order)
+        P = sgm.prepare_slotgather(plan)
+        ord_d = jnp.asarray(plan.order)
+        inv_d = jnp.asarray(plan.inv_order)
+        t_sgplan = time.perf_counter() - t0
+        _log(f"[unstr] sg plan {t_sgplan:.1f}s  V={plan.V} G={plan.G}")
+        u_det.update(sg_plan_s=float(t_sgplan), sg_V=int(plan.V),
+                     sg_G=int(plan.G))
+        sg_iters = 400
 
-    @jax.jit
-    def chain_sg(P, vals, x):
-        valsv = sgm.pack_values(P, vals)
-        def body(i, x):
-            return sgm.apply_slotgather(P, valsv, x) * 0.999
-        return jax.lax.fori_loop(0, sg_iters, body, x)
-    t0 = time.perf_counter()
-    _sync(chain_sg(P, A.vals, x))
-    _log(f"[unstr] sg spmv compile {time.perf_counter()-t0:.1f}s")
-    best = float("inf")
-    for _ in range(3):
+        @jax.jit
+        def chain_sg(P, vals, x):
+            valsv = sgm.pack_values(P, vals)
+            def body(i, x):
+                return sgm.apply_slotgather(P, valsv, x) * 0.999
+            return jax.lax.fori_loop(0, sg_iters, body, x)
         t0 = time.perf_counter()
         _sync(chain_sg(P, A.vals, x))
-        best = min(best, (time.perf_counter() - t0 - rt) / sg_iters)
-    ell_gbps = ell_bytes / best / 1e9
-    _log(f"[unstr] sg spmv {best*1e6:.0f}us, model {ell_gbps:.0f} GB/s "
-         f"({100*ell_gbps/peak:.0f}% peak), {nnz/best/1e9:.2f} Gnnz/s, "
-         f"{ell_gbps/xla_gbps:.0f}x the XLA gather")
+        _log(f"[unstr] sg spmv compile {time.perf_counter()-t0:.1f}s")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(chain_sg(P, A.vals, x))
+            best = min(best, (time.perf_counter() - t0 - rt) / sg_iters)
+        ell_gbps = ell_bytes / best / 1e9
+        _log(f"[unstr] sg spmv {best*1e6:.0f}us, model {ell_gbps:.0f} GB/s "
+             f"({100*ell_gbps/peak:.0f}% peak), {nnz/best/1e9:.2f} Gnnz/s, "
+             f"{ell_gbps/xla_gbps:.0f}x the XLA gather")
+        u_det.update({
+            "spmv_ell_gbps": float(ell_gbps),
+            "spmv_ell_pct_peak": float(100 * ell_gbps / peak),
+            "spmv_ell_nnz_per_s": float(nnz / best),
+        })
 
-    # Jacobi-CG through the slot-gather operator (RCM-permuted space)
-    @jax.jit
-    def solve(P, vals, b, ord_d, inv_d):
-        Ae = A._replace(vals=vals)
-        valsv = sgm.pack_values(P, vals)
-        diag = extract_diagonal(Ae)[ord_d]
-        op = lambda v: sgm.apply_slotgather(P, valsv, v)
-        u_p, st = cg_solve(op, b[ord_d],
-                           precond=jacobi_preconditioner(diag),
-                           rtol=1e-6, maxiter=5000)
-        return u_p[inv_d], st
-    u, stats = solve(P, A.vals, b, ord_d, inv_d)
-    _sync(u)
-    t0 = time.perf_counter()
-    u, stats = solve(P, A.vals, b, ord_d, inv_d)
-    _sync(u)
-    t_solve = max(time.perf_counter() - t0 - rt, 1e-9)
-    _log(f"[unstr] sg cg {t_solve:.2f}s, {int(np.asarray(stats.iters))} "
-         f"iters")
+        # Jacobi-CG through the slot-gather operator (RCM-permuted space)
+        @jax.jit
+        def solve(P, vals, b, ord_d, inv_d):
+            Ae = A._replace(vals=vals)
+            valsv = sgm.pack_values(P, vals)
+            diag = extract_diagonal(Ae)[ord_d]
+            op = lambda v: sgm.apply_slotgather(P, valsv, v)
+            u_p, st = cg_solve(op, b[ord_d],
+                               precond=jacobi_preconditioner(diag),
+                               rtol=1e-6, maxiter=5000)
+            return u_p[inv_d], st
+        u, stats = solve(P, A.vals, b, ord_d, inv_d)
+        _sync(u)
+        t0 = time.perf_counter()
+        u, stats = solve(P, A.vals, b, ord_d, inv_d)
+        _sync(u)
+        t_solve = max(time.perf_counter() - t0 - rt, 1e-9)
+        _log(f"[unstr] sg cg {t_solve:.2f}s, {int(np.asarray(stats.iters))} "
+             f"iters")
+        u_det.update(cg_iters=int(np.asarray(stats.iters)),
+                     cg_solve_s=float(t_solve))
 
     # geometric structure recovery: same problem, DIA numbering restored
     from pfemfort_tpu.drivers.poisson import solve_poisson
@@ -605,27 +696,9 @@ def unstructured_stage(n: int, detail: dict):
     _log(f"[unstr] recovered solve {t_rec:.2f}s (recovered="
          f"{res.timings.get('structure_recovered', False)}, "
          f"{int(np.asarray(res.stats.iters))} iters)")
-
-    detail["unstructured"] = {
-        "mesh": f"permuted tet {n}^3 x6 = {mesh.n_elem} elems",
-        "n_dof": int(N),
-        "ell_k": int(K),
-        "nnz": int(nnz),
-        "host_setup_s": float(t_host),
-        "assembly_elems_per_s": float(eps),
-        "spmv_ell_gbps": float(ell_gbps),
-        "spmv_ell_pct_peak": float(100 * ell_gbps / peak),
-        "spmv_ell_nnz_per_s": float(nnz / best),
-        "spmv_ell_xla_gbps": float(xla_gbps),
-        "sg_plan_s": float(t_sgplan),
-        "sg_V": int(plan.V),
-        "sg_G": int(plan.G),
-        "cg_iters": int(np.asarray(stats.iters)),
-        "cg_solve_s": float(t_solve),
-        "recovered_solve_s": float(t_rec),
-        "structure_recovered": bool(
-            res.timings.get("structure_recovered", False)),
-    }
+    u_det.update(recovered_solve_s=float(t_rec),
+                 structure_recovered=bool(
+                     res.timings.get("structure_recovered", False)))
 
 
 def dist_spmv_stage(n: int, detail: dict):
@@ -664,7 +737,8 @@ def dist_spmv_stage(n: int, detail: dict):
     x = jnp.ones((N,), dtype=dtype)
     iters = 200
 
-    results = {}
+    results = detail.setdefault("dist_spmv", {})
+    results["n_dof"] = int(N)
     plan = lattice_halo_plan(A.offsets, lat) if lat else None
     from pfemfort_tpu.parallel.halo import halo_width, spmv_dia_halo_pallas
     from pfemfort_tpu.sparse.dia import DIAMatrix
@@ -773,8 +847,6 @@ def dist_spmv_stage(n: int, detail: dict):
         _log(f"[dist] ell-sg stage skipped: {type(ex).__name__}: "
              f"{str(ex)[:200]}")
 
-    detail["dist_spmv"] = dict(n_dof=int(N), **results)
-
 
 def main():
     import jax
@@ -783,35 +855,57 @@ def main():
     # per kernel; cached reruns skip it entirely.
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        from pfemfort_tpu import native
+
+        native.ensure_built()   # the C++ pattern/plan builders (host setup)
+    except Exception:
+        pass
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 200
 
     detail = {"device": str(jax.devices()[0]),
-              "dtype": "float32 (+double-float refinement)"}
-    nnz_per_s = flagship(n, detail)
+              "dtype": "float32 (+double-float refinement)",
+              "budget_s": BUDGET_S}
+    nnz_per_s = 0.0
     try:
-        # full flagship size: the slot-gather kernel's per-step overhead
-        # amortizes with row count (measured 136 GB/s at 104k rows vs
-        # 275 GB/s at 1M)
-        unstructured_stage(max(n, 16), detail)
+        with stage_guard("flagship", 330):
+            nnz_per_s = flagship(n, detail)
     except Exception as ex:
-        _log(f"[unstr] stage failed: {type(ex).__name__}: {str(ex)[:300]}")
-        detail["unstructured"] = {
-            "error": f"{type(ex).__name__}: {str(ex)[:300]}"}
-    try:
-        dist_spmv_stage(n, detail)
-    except Exception as ex:
-        _log(f"[dist] stage failed: {type(ex).__name__}: {str(ex)[:300]}")
-        detail["dist_spmv"] = {
-            "error": f"{type(ex).__name__}: {str(ex)[:300]}"}
-    if n_large > 0:
-        try:
-            large_stage(n_large, detail)
-        except Exception as ex:
-            _log(f"[48M] stage failed: {type(ex).__name__}: {str(ex)[:300]}")
-            detail["large"] = {"error": f"{type(ex).__name__}: {str(ex)[:300]}"}
+        _log(f"flagship failed: {type(ex).__name__}: {str(ex)[:300]}")
+        detail["flagship_error"] = f"{type(ex).__name__}: {str(ex)[:300]}"
+    _flush_partial(detail, "flagship")
 
+    # stage order: cheapest evidence first after the flagship, the 48M +
+    # 1e-8 headline before the compile-heavy unstructured tail
+    stages = [
+        ("dist_spmv", 160.0, lambda: dist_spmv_stage(n, detail)),
+        ("large", 380.0, lambda: large_stage(n_large, detail)),
+        ("unstructured", 380.0, lambda: unstructured_stage(max(n, 16),
+                                                           detail)),
+    ]
+    for name, cap, fn in stages:
+        if name == "large" and n_large <= 0:
+            continue
+        if _remaining() < 60.0:
+            detail[name] = {"skipped": f"budget exhausted "
+                            f"({_remaining():.0f}s left)"}
+            _log(f"[{name}] skipped: {_remaining():.0f}s of budget left")
+            continue
+        try:
+            with stage_guard(name, cap):
+                fn()
+        except Exception as ex:
+            _log(f"[{name}] stage failed: {type(ex).__name__}: "
+                 f"{str(ex)[:300]}")
+            detail.setdefault(name, {})
+            if isinstance(detail[name], dict):
+                detail[name]["error"] = (f"{type(ex).__name__}: "
+                                         f"{str(ex)[:300]}")
+        _flush_partial(detail, name)
+
+    detail["total_wall_s"] = time.perf_counter() - _T0
     result = {
         "metric": "spmv_nnz_per_s",
         "value": float(nnz_per_s),

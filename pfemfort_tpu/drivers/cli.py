@@ -305,7 +305,8 @@ def build_parser():
                     default="reduced",
                     help="reduced = BC-eliminated system (impl1/2); "
                          "full = MatZeroRows identity rows (impl3)")
-    sp.add_argument("--precond", choices=["jacobi", "cheby", "mg"],
+    sp.add_argument("--precond",
+                    choices=["jacobi", "cheby", "ic0", "mg"],
                     default="jacobi",
                     help="cheby = Chebyshev polynomial (ILU-class for "
                          "unstructured meshes); mg = geometric multigrid "

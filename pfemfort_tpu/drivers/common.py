@@ -204,6 +204,41 @@ def solve_implicit(
     solver = {"cg": cg_solve, "bicgstab": bicgstab_solve,
               "gmres": gmres_solve}[method]
 
+    if precond == "ic0":
+        # IC(0) with truncated-Neumann application (solve/ic0.py) — the
+        # reference's serial PC=ILU (triapoissonserialimpl1.F:696) for SPD
+        # systems.  The factor needs host values, so assembly runs first
+        # and the solve is a second jit; falls back to Jacobi LOUDLY when
+        # no factorization backend covers this size.
+        from pfemfort_tpu.solve.ic0 import build_ic0, ic0_preconditioner
+
+        A0, b0 = jax.jit(assemble_reduced)(coords_em)
+        pat0 = getattr(assemble_reduced, "pattern", None)
+        arrs = build_ic0(A0, pat0)
+        if arrs is None:
+            precond = "jacobi"
+        else:
+            @jax.jit
+            def solve_ic0(A, b, arrs):
+                operator, _ = operator_and_diag(A)
+                return solver(operator, b,
+                              precond=ic0_preconditioner(arrs),
+                              rtol=rtol, atol=atol, maxiter=maxiter)
+
+            t1 = time.perf_counter()
+            u, stats = solve_ic0(A0, b0 + fvec, arrs)
+            u = jax.block_until_ready(u)
+            u_full = dofmap.expand_solution(np.asarray(u, dtype=np.float64))
+            return ImplicitResult(
+                u_full=u_full,
+                u_reduced=u,
+                stats=jax.tree.map(lambda a: np.asarray(a), stats),
+                timings=dict(pattern_s=t_pattern,
+                             solve_s=time.perf_counter() - t1,
+                             slotgather=False,
+                             precond_requested="ic0", precond_used="ic0"),
+            )
+
     # Unstructured (ELL) meshes on a real TPU: solve in an RCM-reordered
     # space through the slot-gather Pallas SpMV (sparse/slotgather.py) —
     # the XLA lowering of the ELL gather runs on the scalar unit at
@@ -278,7 +313,7 @@ def solve_implicit(
         u_reduced=u,
         stats=jax.tree.map(lambda a: np.asarray(a), stats),
         timings=dict(pattern_s=t_pattern, solve_s=t_solve,
-                     slotgather=sg is not None),
+                     slotgather=sg is not None, precond_used=precond),
     )
 
 

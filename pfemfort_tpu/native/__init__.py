@@ -67,6 +67,10 @@ def load(path: Optional[str] = None):
             ctypes.POINTER(ctypes.c_int64)]
         lib.pfem_sg_fill.restype = ctypes.c_int
         lib.pfem_sg_free.argtypes = [ctypes.c_void_p]
+        lib.pfem_ic0.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double)]
+        lib.pfem_ic0.restype = ctypes.c_int64
     except AttributeError:      # stale .so from an older build
         pass
     _lib = lib
@@ -192,6 +196,20 @@ def sg_plan(cols_sorted: np.ndarray, src_of_slot: np.ndarray, n_cols: int,
     finally:
         lib.pfem_sg_free(h)
     return qsel, vstart, rsel, eps, src
+
+
+def ic0(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray):
+    """In-place IC(0) on a lower-triangular CSR (diag last per row).
+    Returns the pivot-fixup count, or None when unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "pfem_ic0"):
+        return None
+    lp = np.ascontiguousarray(indptr, dtype=np.int64)
+    li = np.ascontiguousarray(indices, dtype=np.int32)
+    assert vals.dtype == np.float64 and vals.flags.c_contiguous
+    return int(lib.pfem_ic0(len(lp) - 1, _ptr(lp, ctypes.c_int64),
+                            _ptr(li, ctypes.c_int32),
+                            _ptr(vals, ctypes.c_double)))
 
 
 def gen_tet_mesh(x0, x1, nex, y0, y1, ney, z0, z1, nez, prefix: str) -> None:

@@ -10,6 +10,7 @@
 // mains (pfem_gentet.cpp, pfem_partition.cpp).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -376,6 +377,62 @@ int64_t pfem_ell_pattern(const int32_t* elem_dof, int64_t n_elem, int32_t ns,
     mat_perm[t] = (int32_t)ia[t];
   }
   return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// IC(0): incomplete Cholesky on the lower-triangular pattern, in place.
+//
+// The reference's serial drivers default to PC=ILU
+// (triapoissonserialimpl1.F:696); for the SPD FEM systems here the
+// symmetric variant IC(0) is the natural equivalent.  The factor is
+// computed host-side ONCE per sparsity+values; the device applies it as a
+// truncated-Neumann product G^T G (solve/ic0.py) — no sequential
+// triangular solves ever run on the TPU.
+//
+// lp/li/lv: CSR of the LOWER triangle including the diagonal, columns
+// ascending per row (so the diagonal is each row's LAST entry).  lv is
+// overwritten with the factor.  Rows with non-positive pivots get a small
+// positive substitute (breakdown guard; preconditioner stays SPD).
+// Returns the number of pivot substitutions.
+// ---------------------------------------------------------------------------
+int64_t pfem_ic0(int64_t n, const int64_t* lp, const int32_t* li,
+                 double* lv) {
+  int64_t fixups = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t r0 = lp[i], r1 = lp[i + 1];
+    double dsum = 0.0;
+    for (int64_t p = r0; p < r1; ++p) {
+      const int32_t k = li[p];
+      if (k < i) {
+        // sparse dot of row i's prefix [r0, p) with row k's strict prefix
+        double s = 0.0;
+        int64_t a = r0, b = lp[k];
+        const int64_t bdiag = lp[k + 1] - 1;
+        while (a < p && b < bdiag) {
+          const int32_t ca = li[a], cb = li[b];
+          if (ca == cb) {
+            s += lv[a] * lv[b];
+            ++a;
+            ++b;
+          } else if (ca < cb) {
+            ++a;
+          } else {
+            ++b;
+          }
+        }
+        lv[p] = (lv[p] - s) / lv[bdiag];
+        dsum += lv[p] * lv[p];
+      } else {
+        double d = lv[p] - dsum;
+        if (!(d > 0.0)) {
+          d = (lv[p] > 0.0) ? lv[p] : 1.0;  // breakdown guard
+          ++fixups;
+        }
+        lv[p] = std::sqrt(d);
+      }
+    }
+  }
+  return fixups;
 }
 
 // ---------------------------------------------------------------------------

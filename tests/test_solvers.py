@@ -103,3 +103,67 @@ def test_chebyshev_preconditioner_beats_jacobi(tet10):
     assert np.abs(rj.u_full - rc.u_full).max() < 1e-8
     assert int(rc.stats.iters) < 0.7 * int(rj.stats.iters), (
         int(rc.stats.iters), int(rj.stats.iters))
+
+
+def test_ic0_preconditioner_beats_jacobi(tet10):
+    """IC(0) + truncated-Neumann application (solve/ic0.py) — the
+    reference's serial PC=ILU (triapoissonserialimpl1.F:696) for SPD
+    systems: markedly fewer CG iterations than scalar Jacobi on the tet10
+    fixture, same solution, and the route is recorded in timings."""
+    import numpy as np
+
+    from pfemfort_tpu.drivers.poisson import solve_poisson
+
+    mesh, dbc, _ = tet10
+    rj = solve_poisson(mesh, dbc, rtol=1e-10)
+    ri = solve_poisson(mesh, dbc, rtol=1e-10, precond="ic0")
+    assert bool(np.asarray(ri.stats.converged))
+    assert ri.timings["precond_used"] == "ic0"
+    assert np.abs(rj.u_full - ri.u_full).max() < 1e-8
+    assert int(ri.stats.iters) < 0.7 * int(rj.stats.iters), (
+        int(ri.stats.iters), int(rj.stats.iters))
+
+
+def test_ic0_factor_exact_on_tridiag():
+    """On a tridiagonal SPD matrix IC(0) IS the exact Cholesky factor: the
+    python and native backends must both reproduce L L^T = A."""
+    import numpy as np
+
+    from pfemfort_tpu.solve.ic0 import _ic0_python
+
+    n = 50
+    rng = np.random.default_rng(0)
+    main = 4.0 + rng.random(n)
+    off = -1.0 + 0.1 * rng.random(n - 1)
+    A = np.diag(main) + np.diag(off, -1) + np.diag(off, 1)
+    # lower CSR incl diag
+    lp, li, lv = [0], [], []
+    for i in range(n):
+        if i > 0:
+            li.append(i - 1)
+            lv.append(off[i - 1])
+        li.append(i)
+        lv.append(main[i])
+        lp.append(len(li))
+    lp = np.asarray(lp, np.int64)
+    li32 = np.asarray(li, np.int32)
+
+    results = []
+    lv_py = np.asarray(lv, np.float64)
+    _ic0_python(lp, li32.astype(np.int64), lv_py)
+    results.append(lv_py)
+    try:
+        from pfemfort_tpu import native
+
+        if native.available():
+            lv_nat = np.ascontiguousarray(lv, dtype=np.float64)
+            if native.ic0(lp, li32, lv_nat) is not None:
+                results.append(lv_nat)
+    except Exception:
+        pass
+    for lv_f in results:
+        L = np.zeros((n, n))
+        for i in range(n):
+            for p in range(lp[i], lp[i + 1]):
+                L[i, li[p]] = lv_f[p]
+        np.testing.assert_allclose(L @ L.T, A, atol=1e-12)
