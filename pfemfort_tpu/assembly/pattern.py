@@ -30,6 +30,35 @@ import numpy as np
 from pfemfort_tpu.sparse.formats import ELLMatrix, round_up
 
 
+def _register_pattern_pytree(cls):
+    """Make AssemblyPattern a pytree (array planes = children, shape/layout
+    metadata = static) so it can be passed INTO jit as an ARGUMENT.
+
+    Closing over a pattern inside jit bakes its scatter planes (hundreds of
+    MB at flagship sizes) into the HLO as constants — which re-ships them
+    with every compile and overflows the axon remote-compile tunnel's
+    request limit (HTTP 413).  Passing the pattern as an argument keeps the
+    HLO small; `jax.tree.map(jnp.asarray, pattern)` stages it to the device
+    once."""
+    import jax
+
+    children = ("rhs_dest", "elem_dof_t", "mat_dest", "indptr", "indices",
+                "ell_cols", "mat_perm", "mat_segids")
+    static = ("layout", "n_rows", "dia_offsets", "dia_lattice", "nnz",
+              "ell_k", "mat_nsegs")
+
+    def flatten(p):
+        return tuple(getattr(p, f) for f in children), \
+            tuple(getattr(p, f) for f in static)
+
+    def unflatten(aux, kids):
+        return cls(**dict(zip(static, aux)), **dict(zip(children, kids)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_register_pattern_pytree
 @dataclasses.dataclass
 class AssemblyPattern:
     layout: str               # 'dia' or 'ell'

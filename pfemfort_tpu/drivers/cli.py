@@ -329,7 +329,8 @@ def build_parser():
                     default="cg")
     sp.add_argument("--shards", type=int, default=0,
                     help="shard the solve over N devices (0 = single)")
-    sp.add_argument("--precond", choices=["jacobi", "bjacobi", "mg"],
+    sp.add_argument("--precond",
+                    choices=["jacobi", "bjacobi", "ic0", "mg"],
                     default="bjacobi",
                     help="sharded-solve preconditioner (bjacobi = per-node "
                          "blocks, the reference default, solverpetsc.F:206; "

@@ -293,11 +293,23 @@ def solve_implicit_sharded(
             from pfemfort_tpu.parallel.dist_ell import (
                 build_ell_halo_slotgather)
             sg = build_ell_halo_slotgather(cols_local, wx, Prow)
+        ic0_blocks = None
+        if precond == "ic0":
+            # PC=BJACOBI with a per-shard IC(0) sub-factorization — the
+            # reference's actual parallel default (block-Jacobi's default
+            # sub-PC is ILU; solverpetsc.F:206)
+            from pfemfort_tpu.solve.ic0 import build_ic0_shard_blocks
+
+            ic0_blocks = build_ic0_shard_blocks(cols_local,
+                                                np.asarray(vals_s))
+            if ic0_blocks is None:
+                precond = "jacobi"
         t1 = time.perf_counter()
         x, stats = distributed_cg_solve_ell(
             device_mesh, cols_s, vals_s, b_s, sr_s, wx,
             rtol=rtol, maxiter=maxiter, sg=sg,
-            ndof_block=(ndof if precond == "bjacobi" else 1))
+            ndof_block=(ndof if precond == "bjacobi" else 1),
+            ic0_blocks=ic0_blocks)
         x = jax.block_until_ready(x)
         t_solve = time.perf_counter() - t1
     else:
@@ -315,6 +327,8 @@ def solve_implicit_sharded(
             ndof <= 1 or layout == "replicated"
             or sys_.rows_per_shard % ndof != 0):
         precond_used = "jacobi"  # the solve-body gates fall back to scalar
+    if precond == "ic0" and layout != "ell":
+        precond_used = "jacobi"  # per-shard IC(0) lives on the ELL path
     timings = dict(pattern_s=t_pattern, assemble_s=t_asm,
                    solve_s=t_solve,
                    assembly_layout=layout,

@@ -201,6 +201,7 @@ def distributed_cg_solve_ell(
     axis: str = "shard",
     sg=None,
     ndof_block: int = 1,
+    ic0_blocks=None,
 ):
     """Jacobi-CG over the unstructured per-shard ELL with the pairwise
     ghost exchange (parallel/dist_ell.py:spmv_ell_halo): per-iteration comm
@@ -214,7 +215,12 @@ def distributed_cg_solve_ell(
 
     `ndof_block` > 1 selects per-node block-Jacobi preconditioning (the
     reference default PC=BJACOBI, solverpetsc.F:206); requires the
-    node-aligned shard layout (parallel/shard.py builds it for ndof > 1)."""
+    node-aligned shard layout (parallel/shard.py builds it for ndof > 1).
+
+    `ic0_blocks`: stacked (S, ...) per-shard IC(0) factor arrays
+    (solve/ic0.py:build_ic0_shard_blocks) — PC=BJACOBI with one ILU-class
+    sub-factorization per rank, the reference's ACTUAL parallel default
+    (block-Jacobi's default sub-PC is ILU).  Overrides `ndof_block`."""
     from pfemfort_tpu.parallel.dist_ell import (
         spmv_ell_halo, spmv_ell_halo_sg)
 
@@ -227,8 +233,16 @@ def distributed_cg_solve_ell(
         sg_dims = sg["dims"]
         sg_arrays = tuple(jnp.asarray(sg[k])
                           for k in ("qsel", "vstart", "rsel", "eps", "src"))
+    ic_arrays = ()
+    if ic0_blocks is not None:
+        ic_arrays = tuple(jnp.asarray(a, dtype=vals.dtype)
+                          if a.dtype == np.float64 else jnp.asarray(a)
+                          for a in ic0_blocks)
+    n_sg = len(sg_arrays)
 
-    def body(cols_l, vals_l, send_rows_l, b_l, *sg_l):
+    def body(cols_l, vals_l, send_rows_l, b_l, *rest):
+        sg_l = rest[:n_sg]
+        ic_l = rest[n_sg:]
         if sg_dims is not None:
             sgp = tuple(a[0] for a in sg_l)      # drop the unit shard dim
             src_l = sgp[4]
@@ -257,7 +271,11 @@ def distributed_cg_solve_ell(
             pair = jax.lax.psum(pair, axis)
             return pair[0], pair[1]
 
-        if ndof_block > 1 and P_ % ndof_block == 0:
+        if ic_l:
+            from pfemfort_tpu.solve.ic0 import ic0_block_apply
+            tc_, tv_, ttc_, ttv_, di_ = (a[0] for a in ic_l)
+            precond = ic0_block_apply(tc_, tv_, ttc_, ttv_, di_)
+        elif ndof_block > 1 and P_ % ndof_block == 0:
             precond = block_jacobi_ell_preconditioner(cols_l, vals_l,
                                                       ndof_block)
         else:
@@ -272,11 +290,13 @@ def distributed_cg_solve_ell(
         body,
         mesh=device_mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis))
-        + tuple(P(axis, *([None] * (a.ndim - 1))) for a in sg_arrays),
+        + tuple(P(axis, *([None] * (a.ndim - 1)))
+                for a in sg_arrays + ic_arrays),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(mapped)(cols_local, vals, send_rows, b, *sg_arrays)
+    return jax.jit(mapped)(cols_local, vals, send_rows, b,
+                           *sg_arrays, *ic_arrays)
 
 
 def distributed_cg_solve_dia(

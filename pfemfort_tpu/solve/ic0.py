@@ -183,6 +183,115 @@ def _ell_mv(cols, vals, x):
     return jnp.sum(vals * xp[cols], axis=1)
 
 
+def build_ic0_shard_blocks(cols_local: np.ndarray, vals: np.ndarray,
+                           lane_pad: int = 8):
+    """Per-shard IC(0) of each shard's OWN diagonal block — the reference's
+    actual parallel default, PC=BJACOBI with one ILU-class factorization per
+    rank (/root/reference/src/solverpetsc.F:206: block-Jacobi whose default
+    sub-PC is ILU).  Ghost columns (>= P) are outside the block, exactly
+    PETSc's per-rank SeqAIJ diagonal block.
+
+    cols_local: (S, P, K) int32 local ELL columns; vals: (S*P, K) host
+    values.  Returns stacked (S, ...) numpy arrays
+    (t_cols, t_vals, tt_cols, tt_vals, dinv) for `ic0_block_preconditioner`,
+    or None if no factorization backend covers the size.
+    """
+    S, P, K = cols_local.shape
+    v = np.asarray(vals, dtype=np.float64).reshape(S, P, K)
+    per = []
+    kt_max = 1
+    for s in range(S):
+        c = cols_local[s].astype(np.int64)
+        rows = np.arange(P, dtype=np.int64)[:, None]
+        own = c < P
+        lower = own & (c <= rows)
+        # rows with no diagonal entry (padding) get an explicit unit pivot
+        has_diag = (lower & (c == rows)).any(axis=1)
+        deg = lower.sum(axis=1) + (~has_diag)
+        lp = np.zeros(P + 1, dtype=np.int64)
+        np.cumsum(deg, out=lp[1:])
+        li = np.empty(lp[-1], dtype=np.int32)
+        lv = np.empty(lp[-1], dtype=np.float64)
+        # ELL cols ascend per row among own entries, so per-row order is
+        # already CSR order; diag (== row) sorts last among c <= row
+        idx = np.nonzero(lower)
+        order = np.lexsort((c[idx], idx[0]))
+        r_sorted = idx[0][order]
+        pos = (lp[r_sorted]
+               + (np.arange(len(r_sorted))
+                  - np.searchsorted(r_sorted, r_sorted)))
+        li[pos] = c[idx][order].astype(np.int32)
+        lv[pos] = v[s][idx][order]
+        miss = np.nonzero(~has_diag)[0]
+        li[lp[miss + 1] - 1] = miss.astype(np.int32)
+        lv[lp[miss + 1] - 1] = 1.0
+
+        fixups = None
+        try:
+            from pfemfort_tpu import native
+
+            fixups = native.ic0(lp, li, lv)
+        except Exception:
+            fixups = None
+        if fixups is None:
+            if P > _PY_FALLBACK_MAX_N:
+                return None
+            _ic0_python(lp, li.astype(np.int64), lv)
+
+        diag = lv[lp[1:] - 1]
+        dinv = 1.0 / diag
+        rws = np.repeat(np.arange(P, dtype=np.int64), np.diff(lp))
+        strict = li < rws
+        tr, tc = rws[strict], li[strict].astype(np.int64)
+        tv = lv[strict] * dinv[tr]
+        per.append((tr, tc, tv, dinv))
+        degt = np.bincount(tr, minlength=P)
+        degtt = np.bincount(tc, minlength=P)
+        kt_max = max(kt_max, int(degt.max(initial=0)),
+                     int(degtt.max(initial=0)))
+
+    Kt = int(round_up(kt_max, lane_pad))
+
+    def to_ell(r, c, val):
+        deg = np.bincount(r, minlength=P)
+        start = np.zeros(P + 1, dtype=np.int64)
+        np.cumsum(deg, out=start[1:])
+        within = np.arange(len(r), dtype=np.int64) - start[r]
+        cols_e = np.full((P, Kt), P, dtype=np.int32)
+        vals_e = np.zeros((P, Kt), dtype=np.float64)
+        cols_e[r, within] = c
+        vals_e[r, within] = val
+        return cols_e, vals_e
+
+    t_cols = np.empty((S, P, Kt), np.int32)
+    t_vals = np.empty((S, P, Kt), np.float64)
+    tt_cols = np.empty((S, P, Kt), np.int32)
+    tt_vals = np.empty((S, P, Kt), np.float64)
+    dinv_a = np.empty((S, P), np.float64)
+    for s, (tr, tc, tv, dinv) in enumerate(per):
+        t_cols[s], t_vals[s] = to_ell(tr, tc, tv)
+        o = np.lexsort((tr, tc))
+        tt_cols[s], tt_vals[s] = to_ell(tc[o], tr[o], tv[o])
+        dinv_a[s] = dinv
+    return t_cols, t_vals, tt_cols, tt_vals, dinv_a
+
+
+def ic0_block_apply(t_cols, t_vals, tt_cols, tt_vals, dinv, m: int = 4):
+    """Shard-local M^{-1} r closure from the SLICED (P, Kt)/(P,) block
+    arrays (use inside shard_map; same truncated-Neumann G^T G form)."""
+    def apply(r):
+        rd = dinv * r
+        z = rd
+        for _ in range(m - 1):
+            z = rd - _ell_mv(t_cols, t_vals, z)
+        w = z
+        for _ in range(m - 1):
+            w = z - _ell_mv(tt_cols, tt_vals, w)
+        return dinv * w
+
+    return apply
+
+
 def ic0_preconditioner(arrs: IC0Arrays, m: int = 4) -> Callable:
     """r -> G_m^T G_m r (SPD; 2(m-1) ELL MVs per application)."""
     def apply(r):

@@ -299,7 +299,7 @@ class PallasSlotGather:
     qsel: jax.Array             # (T, G) i32
     vstart: jax.Array           # (T, G) i32
     rsel: jax.Array             # (T, G) i32 (packed nibbles)
-    eps: jax.Array              # (T, V, 128) i32
+    eps: jax.Array              # (T, V, 128) i8/i16/i32 (lane ids < 128)
     src: jax.Array              # (T, V, 128) i32, -1 = empty slot
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     T: int = dataclasses.field(metadata=dict(static=True))
@@ -309,17 +309,24 @@ class PallasSlotGather:
     n_cols: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
 
-def prepare_slotgather(plan: SlotGatherPlan,
-                       sub: Optional[int] = None) -> PallasSlotGather:
+def prepare_slotgather(plan: SlotGatherPlan, sub: Optional[int] = None,
+                       eps_dtype=np.int32) -> PallasSlotGather:
     """Move the plan to the device once (values are packed separately per
-    assembly via `pack_values`)."""
+    assembly via `pack_values`).
+
+    `eps_dtype`: storage width of the lane-index plane (i8/i16 upcast
+    in-kernel).  Measured on v5e: narrow storage does NOT help — the kernel
+    is VPU-issue-bound on the staging loop, not HBM-bound, and the upcast
+    adds work (int8: 135 -> 149 us at 104k rows).  Kept as a knob for
+    bigger chips where the balance may differ."""
     if plan.src.size and plan.src.max(initial=0) >= 2**31:
         raise ValueError("slot-gather plan exceeds int32 source indexing")
     sub = plan.sub if sub is None else sub
     assert plan.T % sub == 0
     return PallasSlotGather(
         qsel=jnp.asarray(plan.qsel), vstart=jnp.asarray(plan.vstart),
-        rsel=jnp.asarray(plan.rsel), eps=jnp.asarray(plan.eps),
+        rsel=jnp.asarray(plan.rsel),
+        eps=jnp.asarray(plan.eps.astype(eps_dtype)),
         src=jnp.asarray(plan.src.astype(np.int32)),
         n_rows=plan.n_rows, T=plan.T, V=plan.V, G=plan.G, sub=sub,
         n_cols=plan.n_cols)
@@ -350,7 +357,10 @@ def _kernel(qsel_ref, vst_ref, rsel_ref, eps_ref, valsv_ref, x_ref, y_ref,
             idx = jax.lax.shift_right_logical(sel, 4 * iota) & 0xF
             t1 = jnp.take_along_axis(xq, idx, axis=0)
             xw[pl.ds(v0, 8), :] = t1
-        gat = jnp.take_along_axis(xw[:V], eps_ref[i], axis=1)
+        idx_l = eps_ref[i]
+        if idx_l.dtype != jnp.int32:       # i8/i16 storage: upcast in-core
+            idx_l = idx_l.astype(jnp.int32)
+        gat = jnp.take_along_axis(xw[:V], idx_l, axis=1)
         y_ref[i:i + 1, :] = jnp.sum(valsv_ref[i] * gat, axis=0,
                                     keepdims=True)
 

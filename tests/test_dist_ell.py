@@ -254,3 +254,23 @@ def test_mg_refusal_is_recorded():
     assert res.timings["precond_used"] == "jacobi"
     assert "coarsen" in res.timings["mg_refused"]
     assert bool(np.asarray(res.stats.converged))
+
+
+def test_per_shard_ic0_beats_jacobi():
+    """precond='ic0' on the distributed ELL path = PC=BJACOBI with one
+    IC(0) sub-factorization per shard (the reference's ACTUAL parallel
+    default: block-Jacobi's default sub-PC is ILU, solverpetsc.F:206).
+    Must markedly beat scalar Jacobi and record the route."""
+    dm = _mesh_or_skip(4)
+    mesh, dbc = _scrambled_box(8, 8, 12, seed=4)
+    its = {}
+    for pc in ("jacobi", "ic0"):
+        res = solve_implicit_sharded(mesh, 1, dbc, POISSON, device_mesh=dm,
+                                     rtol=1e-10, recover=False, precond=pc)
+        assert res.timings["assembly_layout"] == "ell", res.timings
+        assert res.timings["precond_used"] == pc
+        assert bool(np.asarray(res.stats.converged))
+        err = np.abs(res.u_full - (mesh.coords ** 2).sum(axis=1)).max()
+        assert err < 1e-6
+        its[pc] = int(np.asarray(res.stats.iters))
+    assert its["ic0"] < 0.7 * its["jacobi"], its
