@@ -499,6 +499,7 @@ def large_stage(n: int, detail: dict):
     iters = int(np.asarray(stats.iters))
     per_iter = t_solve / max(iters, 1)
     gbps = (D + 2) * N * 4 / per_iter / 1e9  # SpMV traffic dominates
+    nnz48 = int(jnp.sum(A.vals != 0))
     u_exact_red = jnp.asarray(
         (mesh.coords ** 2).sum(axis=1)[dofmap.assy_for_soln], dtype=dtype)
     err = float(jnp.max(jnp.abs(u - u_exact_red)))
@@ -508,6 +509,8 @@ def large_stage(n: int, detail: dict):
     l_det.update({
         "cg_iters": iters,
         "cg_solve_s": float(t_solve),
+        "nnz": nnz48,
+        "cg_nnz_per_s": float(nnz48 / per_iter),
         "cg_converged": bool(np.asarray(stats.converged)),
         "in_solve_gbps": float(gbps),
         "in_solve_pct_peak": float(100 * gbps / peak),
@@ -798,13 +801,19 @@ def dist_spmv_stage(n: int, detail: dict):
     from pfemfort_tpu.sparse.pallas_spmv import prepare_dia_pallas
     w = halo_width(A.offsets)
 
-    def op_pallas_body(vals_l, x_l):
+    # delta timing: ONE program with a traced trip count, timed at two
+    # lengths — (T_long - T_short)/(iters - short) cancels the dispatch/
+    # readback overhead exactly (fixed-rt subtraction biased the 600-iter
+    # numbers up to ~20% at these ~70us kernel times)
+    def op_pallas_body(vals_l, x_l, k_l):
         Pd = prepare_dia_pallas(DIAMatrix(
             vals=vals_l, offsets=A.offsets, n_rows=N, lattice=None))
 
         def it(i, x_l):
             return spmv_dia_halo_pallas(Pd, x_l, w, "shard") * 0.999
-        return jax.lax.fori_loop(0, iters, it, x_l)
+        return jax.lax.fori_loop(0, k_l, it, x_l)
+
+    short = iters // 3
 
     for name, op in [
         ("pallas", "body"),
@@ -819,24 +828,30 @@ def dist_spmv_stage(n: int, detail: dict):
         if op == "body":
             body = op_pallas_body
         else:
-            def body(vals_l, x_l, op=op):
+            def body(vals_l, x_l, k_l, op=op):
                 def it(i, x_l):
                     return op(vals_l, x_l) * 0.999
-                return jax.lax.fori_loop(0, iters, it, x_l)
+                return jax.lax.fori_loop(0, k_l, it, x_l)
 
         chain = jax.jit(jax.shard_map(
             body, mesh=dm,
-            in_specs=(P(None, "shard"), P("shard")),
+            in_specs=(P(None, "shard"), P("shard"), P()),
             out_specs=P("shard"), check_vma=False))
+        kl = jnp.int32(iters)
+        ks = jnp.int32(short)
         t0 = time.perf_counter()
-        _sync(chain(A.vals, x))
+        _sync(chain(A.vals, x, kl))
         _log(f"[dist] {name} compile {time.perf_counter()-t0:.1f}s")
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _sync(chain(A.vals, x))
-            best = max(min(best, (time.perf_counter() - t0 - rt) / iters),
-                   1e-9)
+            _sync(chain(A.vals, x, kl))
+            t_long = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _sync(chain(A.vals, x, ks))
+            t_short = time.perf_counter() - t0
+            best = max(min(best, (t_long - t_short) / (iters - short)),
+                       1e-9)
         gbps = spmv_bytes / best / 1e9
         results[f"shard_spmv_{name}_gbps"] = float(gbps)
         _log(f"[dist] shard-local {name} spmv: {best*1e6:.0f}us, "
@@ -870,30 +885,35 @@ def dist_spmv_stage(n: int, detail: dict):
         xu = jnp.ones((Pr,), dtype=dtype)
         ubytes = (2 * K * Pr + 2 * Pr) * 4
 
-        def ubody(vals_l, x_l, *sg_l):
+        def ubody(vals_l, x_l, k_l, *sg_l):
             src_l = sg_l[4]
             valsv = (jnp.reshape(vals_l, (-1,))[jnp.clip(src_l, 0, None)]
                      * (src_l >= 0).astype(vals_l.dtype))
             def it(i, x_l):
                 return spmv_ell_halo_sg(sg_l, valsv, sr, x_l, dims,
                                         "shard") * 0.999
-            return jax.lax.fori_loop(0, iters, it, x_l)
+            return jax.lax.fori_loop(0, k_l, it, x_l)
 
         chain_u = jax.jit(jax.shard_map(
             ubody, mesh=dm,
-            in_specs=(P(None, None), P("shard"))
+            in_specs=(P(None, None), P("shard"), P())
             + tuple(P(None, *([None] * (a.ndim - 2))) for a in sg_arrays),
             out_specs=P("shard"), check_vma=False))
         sg_l0 = tuple(a[0] for a in sg_arrays)
+        kl, ks = jnp.int32(iters), jnp.int32(short)
         t0 = time.perf_counter()
-        _sync(chain_u(vals_u, xu, *sg_l0))
+        _sync(chain_u(vals_u, xu, kl, *sg_l0))
         _log(f"[dist] ell-sg compile {time.perf_counter()-t0:.1f}s")
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _sync(chain_u(vals_u, xu, *sg_l0))
-            best = max(min(best, (time.perf_counter() - t0 - rt) / iters),
-                   1e-9)
+            _sync(chain_u(vals_u, xu, kl, *sg_l0))
+            t_long = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _sync(chain_u(vals_u, xu, ks, *sg_l0))
+            t_short = time.perf_counter() - t0
+            best = max(min(best, (t_long - t_short) / (iters - short)),
+                       1e-9)
         gbps = ubytes / best / 1e9
         results["shard_spmv_ell_sg_gbps"] = float(gbps)
         _log(f"[dist] shard-local ell-sg spmv: {best*1e6:.0f}us, "
@@ -923,6 +943,25 @@ def main():
     detail = {"device": str(jax.devices()[0]),
               "dtype": "float32 (+double-float refinement)",
               "budget_s": BUDGET_S}
+
+    # Warm poke OUTSIDE the stage guards: the first sizeable device
+    # alloc+compute after process start intermittently stalls for minutes
+    # on the axon backend (observed twice killing the flagship stage);
+    # absorb that here so stage caps measure real work.
+    try:
+        with stage_guard("warm_poke", 420):
+            import jax.numpy as jnp
+
+            t0 = time.perf_counter()
+            big = jax.jit(lambda: jnp.ones((64, 1024, 1024),
+                                           jnp.float32) * 1.0001)()
+            _sync(big)
+            del big
+            detail["warm_poke_s"] = time.perf_counter() - t0
+            _log(f"device warm poke {detail['warm_poke_s']:.1f}s")
+    except Exception as ex:
+        _log(f"warm poke failed: {type(ex).__name__}: {str(ex)[:160]}")
+
     nnz_per_s = 0.0
     try:
         with stage_guard("flagship", 300):
@@ -960,6 +999,10 @@ def main():
                                          f"{str(ex)[:300]}")
         _flush_partial(detail, name)
 
+    if nnz_per_s <= 0.0 and isinstance(detail.get("large"), dict):
+        nnz_per_s = float(detail["large"].get("cg_nnz_per_s", 0.0))
+        if nnz_per_s:
+            detail["headline_source"] = "large.cg_nnz_per_s (flagship stage failed)"
     detail["total_wall_s"] = time.perf_counter() - _T0
     result = {
         "metric": "spmv_nnz_per_s",
