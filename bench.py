@@ -676,10 +676,8 @@ def unstructured_stage(n: int, detail: dict):
         _log(f"[unstr] slot-gather skipped: {u_det['sg_skipped']}")
     else:
         t0 = time.perf_counter()
-        order = sgm.rcm_order(pattern.indptr, pattern.indices,
-                              pattern.n_rows)
-        plan = sgm.build_slotgather_plan(pattern.ell_cols, pattern.n_rows,
-                                         order=order)
+        plan = sgm.build_best_plan(
+            pattern, coords_rows=mesh.coords[dofmap.assy_for_soln])
         P = sgm.prepare_slotgather(plan)
         ord_d = jnp.asarray(plan.order)
         inv_d = jnp.asarray(plan.inv_order)

@@ -250,10 +250,12 @@ def solve_implicit(
         from pfemfort_tpu.sparse import slotgather as sgm
 
         if sgm.slotgather_supported(pattern.n_rows):
-            order = sgm.rcm_order(pattern.indptr, pattern.indices,
-                                  pattern.n_rows)
-            plan = sgm.build_slotgather_plan(
-                pattern.ell_cols, pattern.n_rows, order=order)
+            # candidate orderings: RCM + geometric lex (the lex order wins
+            # on near-lattice meshes: V=32 vs 40 on the scrambled flagship)
+            eq_nodes = dofmap.assy_for_soln // ndof
+            plan = sgm.build_best_plan(
+                pattern, coords_rows=mesh.coords[eq_nodes],
+                comp=dofmap.assy_for_soln % ndof)
             sg = (sgm.prepare_slotgather(plan),
                   jnp.asarray(plan.order), jnp.asarray(plan.inv_order))
 

@@ -92,6 +92,39 @@ def rcm_order(indptr: np.ndarray, indices: np.ndarray,
                       dtype=np.int64)
 
 
+def coord_lex_order(coords_rows: np.ndarray,
+                    comp: Optional[np.ndarray] = None) -> np.ndarray:
+    """Geometric (z, y, x[, dof]) lexicographic row ordering.
+
+    For meshes whose nodes lie on (or near) a lattice this recovers the
+    banded numbering exactly — measured V=32/G=7 vs RCM's V=40/G=9 on the
+    scrambled flagship box (20% less staging+gather work per tile); RCM
+    stays the fallback for meshes where geometry is a poor bandwidth
+    proxy.  `comp`: per-row dof component (keeps a node's rows adjacent)."""
+    # np.lexsort: LAST key is primary -> (comp, x, y, z) sorts by z, y, x
+    # with the dof component fastest-varying (node rows stay adjacent)
+    keys = [coords_rows[:, d] for d in range(coords_rows.shape[1])]
+    if comp is not None:
+        keys.insert(0, comp)
+    return np.lexsort(tuple(keys)).astype(np.int64)
+
+
+def build_best_plan(pattern, coords_rows: Optional[np.ndarray] = None,
+                    comp: Optional[np.ndarray] = None,
+                    sub: int = 32) -> SlotGatherPlan:
+    """Build slot-gather plans for the candidate row orderings (RCM +
+    geometric lex when coordinates are available) and keep the one with the
+    least per-tile work (V, then G).  Plan construction is cheap (native
+    per-tile builder), so trying both costs seconds and the winner's V
+    translates directly into kernel time."""
+    cands = [rcm_order(pattern.indptr, pattern.indices, pattern.n_rows)]
+    if coords_rows is not None:
+        cands.append(coord_lex_order(np.asarray(coords_rows), comp))
+    plans = [build_slotgather_plan(pattern.ell_cols, pattern.n_rows,
+                                   order=o, sub=sub) for o in cands]
+    return min(plans, key=lambda p: (p.V, p.G))
+
+
 def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
                           order: Optional[np.ndarray] = None,
                           sub: int = 32,

@@ -166,3 +166,37 @@ def test_pad_plan_unequal_dims_stack():
         y = apply_slotgather_reference(padded, _pack_np(padded, vals), x)
         scale = max(np.abs(y_ref).max(), 1e-30)
         assert np.abs(y - y_ref).max() / scale < 1e-5
+
+
+def test_coord_lex_order_beats_rcm_on_lattice():
+    """build_best_plan: the geometric lex candidate must win (smaller V) on
+    a scrambled lattice mesh and still compute the correct SpMV."""
+    from pfemfort_tpu.assembly.pattern import build_pattern
+    from pfemfort_tpu.dofs.dofmap import build_dofmap
+    from pfemfort_tpu.mesh import generate
+    from pfemfort_tpu.sparse.slotgather import build_best_plan
+
+    n = 10
+    mesh, dbc = generate.box_tet(0, 1, n, 0, 1, n, 0, 1, n)
+    perm = np.random.default_rng(6).permutation(mesh.n_node)
+    mesh = mesh.renumbered(perm.astype(np.int64))
+    dbc = dbc.copy()
+    dbc[:, 0] = perm[dbc[:, 0].astype(np.int64)]
+    dofmap = build_dofmap(mesh, 1, dbc)
+    pattern = build_pattern(dofmap.elem_dof, dofmap.total_dof, layout="ell")
+    plan = build_best_plan(pattern,
+                           coords_rows=mesh.coords[dofmap.assy_for_soln])
+    rcm = rcm_order(pattern.indptr, pattern.indices, pattern.n_rows)
+    plan_rcm = build_slotgather_plan(pattern.ell_cols, pattern.n_rows,
+                                     order=rcm)
+    assert plan.V <= plan_rcm.V
+    # correctness through the reference executor in the winning order
+    rng = np.random.default_rng(7)
+    N, K = pattern.n_rows, pattern.ell_k
+    vals = rng.standard_normal((N, K)).astype(np.float32)
+    x = rng.standard_normal(N).astype(np.float32)
+    y = apply_slotgather_reference(plan, _pack_np(plan, vals), x[plan.order])
+    y_ref = _ell_spmv_np(pattern.ell_cols.astype(np.int64), vals, x,
+                         N)[plan.order]
+    scale = max(np.abs(y_ref).max(), 1e-30)
+    assert np.abs(y - y_ref).max() / scale < 1e-5
