@@ -28,6 +28,15 @@ _PC_ALIASES = {
     "jacobi": "jacobi",
     "bjacobi": "block_jacobi",
     "block_jacobi": "block_jacobi",
+    # PETSc's serial default PC (triapoissonserialimpl1.F:696): the SPD
+    # equivalent IC(0) with truncated-Neumann application (solve/ic0.py)
+    "ilu": "ic0",
+    "icc": "ic0",
+    "ic0": "ic0",
+    # the options-file AMG escape hatch (solverpetsc.F:1-8): geometric MG
+    "hypre": "mg",
+    "gamg": "mg",
+    "mg": "mg",
     "none": "none",
 }
 
@@ -35,7 +44,7 @@ _PC_ALIASES = {
 @dataclasses.dataclass
 class SolverOptions:
     ksp_type: str = "cg"          # cg | bicgstab | gmres
-    pc_type: str = "jacobi"       # jacobi | block_jacobi | none
+    pc_type: str = "jacobi"       # jacobi | block_jacobi | ic0 | mg | none
     rtol: float = 1e-8
     atol: float = 0.0
     max_it: Optional[int] = None

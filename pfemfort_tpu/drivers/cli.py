@@ -70,6 +70,11 @@ def _solver_opts(args):
         args.rtol = o.rtol
         if o.ksp_type in ("cg", "bicgstab"):
             args.ksp = o.ksp_type
+        if hasattr(args, "precond") and o.pc_type != "jacobi":
+            # -pc_type ilu/icc -> ic0, -pc_type hypre/gamg -> mg (config.py
+            # aliases); block_jacobi -> the sharded bjacobi route
+            args.precond = {"block_jacobi": "bjacobi"}.get(o.pc_type,
+                                                           o.pc_type)
     return args
 
 

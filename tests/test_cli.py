@@ -154,3 +154,30 @@ def test_cli_elasticity_sharded(tmp_path, capsys):
                "--shards", "4", "--precond", "bjacobi", "--rtol", "1e-9"])
     assert rc == 0
     assert "Convergence in" in capsys.readouterr().out
+
+
+def test_options_file_pc_type_ilu_routes_ic0(tmp_path):
+    """-pc_type ilu in a PETSc options file must reach the IC(0)
+    preconditioner (the reference's serial default,
+    triapoissonserialimpl1.F:696 + solverpetsc.F options-file parity)."""
+    import numpy as np
+
+    from pfemfort_tpu.drivers.cli import main as cli_main
+    from pfemfort_tpu.mesh import generate
+    from pfemfort_tpu.mesh.io import write_dat
+
+    mesh, dbc = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 4)
+    perm = np.random.default_rng(0).permutation(mesh.n_node)
+    mesh = mesh.renumbered(perm.astype(np.int64))
+    dbc = dbc.copy()
+    dbc[:, 0] = perm[dbc[:, 0].astype(np.int64)]
+    prefix = str(tmp_path / "m")
+    write_dat(prefix, mesh, dirichlet=dbc)
+    opts = tmp_path / "opts.dat"
+    opts.write_text("-ksp_type cg\n-pc_type ilu\n-ksp_rtol 1e-9\n")
+    out = tmp_path / "o.vtk"
+    rc = cli_main(["poisson", f"{prefix}-nodes.dat", f"{prefix}-elems.dat",
+                   f"{prefix}-DirichBC.dat", "-o", str(out),
+                   "--options-file", str(opts)])
+    assert rc == 0
+    assert out.exists()
