@@ -216,3 +216,69 @@ def test_beam3d_elasticity(beam3d):
     res = solve_elasticity(mesh, dbc, 240.565, 0.3, force_bc=fbc, rtol=1e-8)
     assert res.stats.converged
     assert np.isfinite(res.u_full).all()
+
+
+def test_delaunay_truly_unstructured_poisson():
+    """A GENUINELY unstructured tet mesh (Delaunay of a jittered point
+    cloud — no lattice to recover, arbitrary valences): the general ELL
+    assembly + CG pipeline must match a scipy direct solve of the same
+    system to solver precision, and approximate the manufactured PDE
+    solution at O(h^2).  Everything else in the suite is lattice-derived;
+    this pins down the no-structure-at-all case."""
+    import numpy as np
+    import scipy.sparse as ssp
+    import scipy.sparse.linalg as sla
+    from scipy.spatial import Delaunay
+
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.assembly.assemble import (
+        assemble_matrix, assemble_rhs, dirichlet_rhs_correction)
+    from pfemfort_tpu.assembly.pattern import build_pattern
+    from pfemfort_tpu.dofs.dofmap import build_dofmap
+    from pfemfort_tpu.drivers.poisson import solve_poisson
+    from pfemfort_tpu.elements.geometry import to_element_minor
+    from pfemfort_tpu.elements.poisson import poisson_element_matrices
+    from pfemfort_tpu.mesh.core import Mesh
+
+    rng = np.random.default_rng(0)
+    n = 6
+    g = np.linspace(0, 1, n + 1)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    interior = ((pts > 1e-9) & (pts < 1 - 1e-9)).all(axis=1)
+    pts[interior] += rng.uniform(-0.25, 0.25, (int(interior.sum()), 3)) / n
+    tri = Delaunay(pts)
+    conn = tri.simplices.astype(np.int64)
+    a, b, c, d = (pts[conn[:, i]] for i in range(4))
+    vol6 = np.einsum("ij,ij->i", np.cross(b - a, c - a), d - a)
+    neg = vol6 < 0
+    conn[neg] = conn[neg][:, [0, 2, 1, 3]]
+    vol6 = np.abs(vol6)
+    conn = conn[vol6 > 1e-12]           # drop coplanar slivers
+    mesh = Mesh("tetra4", pts, conn.astype(np.int32))
+    hull = np.unique(tri.convex_hull)
+    u_ex = (pts ** 2).sum(axis=1)
+    dbc = np.stack([hull, np.zeros(len(hull)), u_ex[hull]], axis=1)
+
+    res = solve_poisson(mesh, dbc, rtol=1e-12)
+    assert bool(np.asarray(res.stats.converged))
+    assert not res.timings.get("structure_recovered", False)
+
+    dm = build_dofmap(mesh, 1, dbc)
+    pat = build_pattern(dm.elem_dof, dm.total_dof, layout="ell")
+    coords = jnp.asarray(to_element_minor(mesh.elem_coords()))
+    ubc = jnp.asarray(dm.bc_values_full[dm.elem_nodedof].T)
+    Ke, Fe = poisson_element_matrices(coords, "tetra4", source=-6.0)
+    A = assemble_matrix(Ke, pat)
+    bb = assemble_rhs(Fe + dirichlet_rhs_correction(Ke, ubc), pat)
+    rows = np.repeat(np.arange(pat.n_rows), pat.ell_k)
+    cols = np.asarray(A.cols).reshape(-1)
+    vals = np.asarray(A.vals).reshape(-1)
+    keep = cols < pat.n_rows
+    S = ssp.csr_matrix((vals[keep], (rows[keep], cols[keep])),
+                       shape=(pat.n_rows, pat.n_rows))
+    u_direct = sla.spsolve(S.tocsc(), np.asarray(bb))
+    scale = np.abs(u_direct).max()
+    assert np.abs(np.asarray(res.u_reduced) - u_direct).max() < 1e-9 * scale
+    assert np.abs(res.u_full - u_ex).max() < 0.05   # O(h^2) at h=1/6

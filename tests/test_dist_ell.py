@@ -274,3 +274,49 @@ def test_per_shard_ic0_beats_jacobi():
         assert err < 1e-6
         its[pc] = int(np.asarray(res.stats.iters))
     assert its["ic0"] < 0.7 * its["jacobi"], its
+
+
+def test_delaunay_mesh_distributed_ell():
+    """A genuinely unstructured Delaunay tet mesh (no recoverable lattice)
+    through the distributed per-shard ELL path with the per-shard IC(0)
+    preconditioner — matches the single-device solve."""
+    from scipy.spatial import Delaunay
+
+    from pfemfort_tpu.mesh.core import Mesh
+
+    dm = _mesh_or_skip(4)
+    rng = np.random.default_rng(1)
+    n = 6
+    g = np.linspace(0, 1, n + 1)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    interior = ((pts > 1e-9) & (pts < 1 - 1e-9)).all(axis=1)
+    pts[interior] += rng.uniform(-0.25, 0.25, (int(interior.sum()), 3)) / n
+    tri = Delaunay(pts)
+    conn = tri.simplices.astype(np.int64)
+    a, b, c, d = (pts[conn[:, i]] for i in range(4))
+    vol6 = np.einsum("ij,ij->i", np.cross(b - a, c - a), d - a)
+    neg = vol6 < 0
+    conn[neg] = conn[neg][:, [0, 2, 1, 3]]
+    conn = conn[np.abs(vol6) > 1e-12]
+    # scramble the node numbering: the meshgrid order would pass the DIA
+    # census even for this mesh (near-stencil offsets); the scrambled ids
+    # pin the general ELL + all_to_all route
+    perm = rng.permutation(len(pts))
+    inv = np.empty(len(pts), np.int64)
+    inv[perm] = np.arange(len(pts))
+    pts = pts[perm]
+    conn = inv[conn]
+    mesh = Mesh("tetra4", pts, conn.astype(np.int32))
+    hull = np.unique(inv[np.unique(tri.convex_hull)])
+    u_ex = (pts ** 2).sum(axis=1)
+    dbc = np.stack([hull, np.zeros(len(hull)), u_ex[hull]], axis=1)
+
+    ref = solve_poisson(mesh, dbc, rtol=1e-11)
+    res = solve_implicit_sharded(mesh, 1, dbc, POISSON, device_mesh=dm,
+                                 rtol=1e-11, precond="ic0")
+    assert res.timings["assembly_layout"] == "ell", res.timings
+    assert res.timings["precond_used"] == "ic0"
+    assert bool(np.asarray(res.stats.converged))
+    scale = max(np.abs(ref.u_full).max(), 1.0)
+    assert np.abs(res.u_full - ref.u_full).max() < 1e-8 * scale
