@@ -35,7 +35,9 @@ _PC_ALIASES = {
     "ic0": "ic0",
     # the options-file AMG escape hatch (solverpetsc.F:1-8): geometric MG
     "hypre": "mg",
-    "gamg": "mg",
+    # PETSc gamg IS smoothed aggregation: route to the SA-AMG
+    "gamg": "amg",
+    "amg": "amg",
     "mg": "mg",
     "none": "none",
 }
@@ -44,7 +46,7 @@ _PC_ALIASES = {
 @dataclasses.dataclass
 class SolverOptions:
     ksp_type: str = "cg"          # cg | bicgstab | gmres
-    pc_type: str = "jacobi"       # jacobi | block_jacobi | ic0 | mg | none
+    pc_type: str = "jacobi"       # jacobi | block_jacobi | ic0 | amg | mg | none
     rtol: float = 1e-8
     atol: float = 0.0
     max_it: Optional[int] = None

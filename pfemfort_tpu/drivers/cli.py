@@ -311,7 +311,7 @@ def build_parser():
                     help="reduced = BC-eliminated system (impl1/2); "
                          "full = MatZeroRows identity rows (impl3)")
     sp.add_argument("--precond",
-                    choices=["jacobi", "cheby", "ic0", "mg"],
+                    choices=["jacobi", "cheby", "ic0", "amg", "mg"],
                     default="jacobi",
                     help="cheby = Chebyshev polynomial (ILU-class for "
                          "unstructured meshes); mg = geometric multigrid "

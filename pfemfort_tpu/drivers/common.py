@@ -204,29 +204,47 @@ def solve_implicit(
     solver = {"cg": cg_solve, "bicgstab": bicgstab_solve,
               "gmres": gmres_solve}[method]
 
-    if precond == "ic0":
-        # IC(0) with truncated-Neumann application (solve/ic0.py) — the
-        # reference's serial PC=ILU (triapoissonserialimpl1.F:696) for SPD
-        # systems.  The factor needs host values, so assembly runs first
-        # and the solve is a second jit; falls back to Jacobi LOUDLY when
-        # no factorization backend covers this size.
-        from pfemfort_tpu.solve.ic0 import build_ic0, ic0_preconditioner
-
+    if precond in ("ic0", "amg"):
+        # Preconditioners whose setup needs HOST matrix values: assembly
+        # runs first and the solve is a second jit.  'ic0' = IC(0) with
+        # truncated-Neumann application (solve/ic0.py; the reference's
+        # serial PC=ILU, triapoissonserialimpl1.F:696).  'amg' = smoothed-
+        # aggregation algebraic multigrid (solve/amg.py; the PC=hypre
+        # options-file escape hatch, solverpetsc.F:198-209, for meshes
+        # with no lattice at all).  Falls back to Jacobi LOUDLY when the
+        # setup backend cannot cover this system.
+        requested = precond
         A0, b0 = jax.jit(assemble_reduced)(coords_em)
         pat0 = getattr(assemble_reduced, "pattern", None)
-        arrs = build_ic0(A0, pat0)
-        if arrs is None:
+        pre_fn = None
+        if precond == "ic0":
+            from pfemfort_tpu.solve.ic0 import build_ic0, ic0_preconditioner
+
+            arrs = build_ic0(A0, pat0)
+            if arrs is not None:
+                pre_fn = lambda a: ic0_preconditioner(a)
+        else:
+            from pfemfort_tpu.solve.amg import (
+                build_samg, samg_preconditioner)
+            from pfemfort_tpu.solve.ic0 import _csr_from_matrix
+
+            indptr, indices, vals_h, n0 = _csr_from_matrix(A0, pat0)
+            built = build_samg(indptr, indices, vals_h, n0, ndof=ndof,
+                               dtype=dtype)
+            if built is not None:
+                arrs, amg_meta = built
+                pre_fn = lambda a: samg_preconditioner(a, amg_meta)
+        if pre_fn is None:
             precond = "jacobi"
         else:
             @jax.jit
-            def solve_ic0(A, b, arrs):
+            def solve_hostpc(A, b, arrs):
                 operator, _ = operator_and_diag(A)
-                return solver(operator, b,
-                              precond=ic0_preconditioner(arrs),
+                return solver(operator, b, precond=pre_fn(arrs),
                               rtol=rtol, atol=atol, maxiter=maxiter)
 
             t1 = time.perf_counter()
-            u, stats = solve_ic0(A0, b0 + fvec, arrs)
+            u, stats = solve_hostpc(A0, b0 + fvec, arrs)
             u = jax.block_until_ready(u)
             u_full = dofmap.expand_solution(np.asarray(u, dtype=np.float64))
             return ImplicitResult(
@@ -236,7 +254,8 @@ def solve_implicit(
                 timings=dict(pattern_s=t_pattern,
                              solve_s=time.perf_counter() - t1,
                              slotgather=False,
-                             precond_requested="ic0", precond_used="ic0"),
+                             precond_requested=requested,
+                             precond_used=requested),
             )
 
     # Unstructured (ELL) meshes on a real TPU: solve in an RCM-reordered

@@ -71,6 +71,10 @@ def load(path: Optional[str] = None):
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double)]
         lib.pfem_ic0.restype = ctypes.c_int64
+        lib.pfem_samg_aggregate.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
+        lib.pfem_samg_aggregate.restype = ctypes.c_int64
     except AttributeError:      # stale .so from an older build
         pass
     _lib = lib
@@ -210,6 +214,21 @@ def ic0(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray):
     return int(lib.pfem_ic0(len(lp) - 1, _ptr(lp, ctypes.c_int64),
                             _ptr(li, ctypes.c_int32),
                             _ptr(vals, ctypes.c_double)))
+
+
+def samg_aggregate(indptr: np.ndarray, indices: np.ndarray, n: int):
+    """Greedy SA aggregation over a strength CSR; returns (agg, n_agg) or
+    None when unavailable (solve/amg.py falls back to the python loop)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "pfem_samg_aggregate"):
+        return None
+    sp = np.ascontiguousarray(indptr, dtype=np.int64)
+    si = np.ascontiguousarray(indices, dtype=np.int32)
+    agg = np.empty(n, dtype=np.int64)
+    n_agg = int(lib.pfem_samg_aggregate(n, _ptr(sp, ctypes.c_int64),
+                                        _ptr(si, ctypes.c_int32),
+                                        _ptr(agg, ctypes.c_int64)))
+    return agg, n_agg
 
 
 def gen_tet_mesh(x0, x1, nex, y0, y1, ney, z0, z1, nez, prefix: str) -> None:

@@ -380,6 +380,42 @@ int64_t pfem_ell_pattern(const int32_t* elem_dof, int64_t n_elem, int32_t ns,
 }
 
 // ---------------------------------------------------------------------------
+// Smoothed-aggregation greedy root aggregation (solve/amg.py host setup):
+// pass 1 roots with fully-unaggregated strong neighborhoods, pass 2 attach
+// leftovers to a neighboring aggregate, pass 3 singletons.  Semantics match
+// the python fallback exactly.  Returns n_agg.
+// ---------------------------------------------------------------------------
+int64_t pfem_samg_aggregate(int64_t n, const int64_t* sp, const int32_t* si,
+                            int64_t* agg) {
+  std::fill(agg, agg + n, (int64_t)-1);
+  int64_t n_agg = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] >= 0) continue;
+    bool free_nb = true;
+    for (int64_t p = sp[i]; p < sp[i + 1]; ++p)
+      if (agg[si[p]] >= 0) {
+        free_nb = false;
+        break;
+      }
+    if (!free_nb) continue;
+    agg[i] = n_agg;
+    for (int64_t p = sp[i]; p < sp[i + 1]; ++p) agg[si[p]] = n_agg;
+    ++n_agg;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] >= 0) continue;
+    for (int64_t p = sp[i]; p < sp[i + 1]; ++p)
+      if (agg[si[p]] >= 0) {
+        agg[i] = agg[si[p]];
+        break;
+      }
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (agg[i] < 0) agg[i] = n_agg++;
+  return n_agg;
+}
+
+// ---------------------------------------------------------------------------
 // IC(0): incomplete Cholesky on the lower-triangular pattern, in place.
 //
 // The reference's serial drivers default to PC=ILU

@@ -1,0 +1,240 @@
+"""Smoothed-aggregation algebraic multigrid (serial, any SPD mesh).
+
+The reference's scalable-preconditioner story is PETSc's options-file
+escape hatch to hypre/AMG (/root/reference/src/solverpetsc.F:1-8, 198-209).
+Geometric MG (solve/multigrid.py, parallel/dist_mg.py) covers the generator
+lattices; THIS module covers meshes with no lattice at all — the classic
+smoothed-aggregation construction (Vanek/Mandel/Brezina):
+
+  host setup (numpy/scipy, once per assembled matrix):
+    * strength graph  |a_ij| > theta * sqrt(a_ii a_jj)
+    * greedy root aggregation (pass 1: free neighborhoods become
+      aggregates; pass 2: leftovers attach to a strongly-connected
+      neighbor aggregate; pass 3: singletons)
+    * tentative P0 = piecewise-constant over aggregates (per dof
+      component for vector problems, so node blocks stay decoupled)
+    * smoothed P = (I - omega D^-1 A) P0, omega = 2/3 / lambda_max
+      (Gershgorin bound on D^-1 A)
+    * Galerkin coarse operator A_c = P^T A P (scipy sparse product)
+    * recurse until the coarsest level fits a dense inverse
+
+  device V-cycle (jit-traced, SPD):
+    * damped-Jacobi pre/post smoothing (elementwise)
+    * restriction/prolongation and level SpMVs as padded-ELL products
+      (the P blocks are tiny next to the fine operator; on TPU the fine
+      A SpMV dominates and can route through the slot-gather kernel)
+
+All level arrays are a pytree passed INTO jit as arguments (tens of MB of
+constants would re-ship with every remote compile, memory: HTTP 413).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfemfort_tpu.sparse.formats import round_up
+
+
+# ---------------------------------------------------------------------------
+# host-side setup
+# ---------------------------------------------------------------------------
+
+def _aggregate(S_indptr, S_indices, n: int) -> Tuple[np.ndarray, int]:
+    """Greedy root aggregation over the strength graph (node granularity).
+
+    Returns (agg_id per node (-1 never after pass 3), n_agg).  Routes to
+    the C++ implementation when available (the python loop costs ~10 s at
+    857k rows); both produce identical aggregates."""
+    try:
+        from pfemfort_tpu import native
+
+        res = native.samg_aggregate(S_indptr, S_indices, n)
+        if res is not None:
+            return res
+    except Exception:
+        pass
+    agg = np.full(n, -1, dtype=np.int64)
+    n_agg = 0
+    # pass 1: roots whose whole strong neighborhood is unaggregated
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nb = S_indices[S_indptr[i]:S_indptr[i + 1]]
+        if (agg[nb] >= 0).any():
+            continue
+        agg[i] = n_agg
+        agg[nb] = n_agg
+        n_agg += 1
+    # pass 2: attach leftovers to a neighboring aggregate
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nb = S_indices[S_indptr[i]:S_indptr[i + 1]]
+        hit = nb[agg[nb] >= 0]
+        if len(hit):
+            agg[i] = agg[hit[0]]
+    # pass 3: remaining isolated nodes become singletons
+    for i in range(n):
+        if agg[i] < 0:
+            agg[i] = n_agg
+            n_agg += 1
+    return agg, n_agg
+
+
+def _csr_to_ell(S, lane_pad: int = 8):
+    """scipy CSR -> padded-ELL numpy (cols sentinel = n_cols)."""
+    S = S.tocsr()
+    n, m = S.shape
+    deg = np.diff(S.indptr)
+    K = int(round_up(max(int(deg.max(initial=0)), 1), lane_pad))
+    cols = np.full((n, K), m, dtype=np.int32)
+    vals = np.zeros((n, K), dtype=S.dtype)
+    within = np.arange(S.nnz, dtype=np.int64) - np.repeat(S.indptr[:-1], deg)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols[rows, within] = S.indices
+    vals[rows, within] = S.data
+    return cols, vals
+
+
+class SAMGArrays(NamedTuple):
+    """Per-level device data (pytree; pass INTO jit)."""
+    a_cols: Tuple[jax.Array, ...]     # level operators, padded ELL
+    a_vals: Tuple[jax.Array, ...]
+    p_cols: Tuple[jax.Array, ...]     # prolongators fine->coarse, ELL
+    p_vals: Tuple[jax.Array, ...]
+    pt_cols: Tuple[jax.Array, ...]    # restrictions (P^T), ELL
+    pt_vals: Tuple[jax.Array, ...]
+    inv_diags: Tuple[jax.Array, ...]
+    coarse_inv: jax.Array             # dense inverse of the coarsest level
+
+
+@dataclasses.dataclass(frozen=True)
+class SAMGMeta:
+    sizes: Tuple[int, ...]            # rows per level
+    nu: int
+    omega_smooth: float               # Jacobi damping in the cycle
+
+
+def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
+               n: int, ndof: int = 1, theta: float = 0.08,
+               coarsest_max: int = 800, max_levels: int = 12,
+               nu: int = 1, omega_smooth: float = 0.7,
+               dtype=jnp.float32) -> Optional[Tuple[SAMGArrays, SAMGMeta]]:
+    """Build the hierarchy from a host CSR of the (reduced, SPD) system.
+
+    For ndof > 1 the aggregation runs on the NODE graph (rows grouped in
+    ndof blocks, which solve_implicit's reduced numbering does not
+    guarantee — callers pass ndof=1 to aggregate at dof granularity, which
+    remains a valid SPD preconditioner, just with slightly weaker coarse
+    spaces for vector problems)."""
+    import scipy.sparse as ssp
+
+    A = ssp.csr_matrix((vals, indices, indptr), shape=(n, n))
+    levels_a: List = [A]
+    levels_p: List = []
+    sizes = [n]
+    while sizes[-1] > coarsest_max and len(sizes) < max_levels:
+        Al = levels_a[-1].tocsr()
+        nl = Al.shape[0]
+        d = np.asarray(Al.diagonal(), dtype=np.float64)
+        d_safe = np.where(d > 0, d, 1.0)
+        # strength-of-connection filter
+        rows = np.repeat(np.arange(nl, dtype=np.int64), np.diff(Al.indptr))
+        cols = Al.indices.astype(np.int64)
+        av = np.abs(np.asarray(Al.data, dtype=np.float64))
+        thr = theta * np.sqrt(d_safe[rows] * d_safe[cols])
+        keep = (av > thr) & (rows != cols)
+        S = ssp.csr_matrix((np.ones(int(keep.sum()), np.float32),
+                            (rows[keep], cols[keep])), shape=(nl, nl))
+        agg, n_agg = _aggregate(S.indptr, S.indices.astype(np.int64), nl)
+        if n_agg >= nl:            # no coarsening progress: stop here
+            break
+        # tentative piecewise-constant prolongator, then one Jacobi smooth
+        P0 = ssp.csr_matrix(
+            (np.ones(nl, np.float64),
+             (np.arange(nl, dtype=np.int64), agg)), shape=(nl, n_agg))
+        absrow = np.asarray(np.abs(Al).sum(axis=1)).reshape(-1)
+        lam = float(np.max(absrow / d_safe))       # Gershgorin on D^-1 A
+        omega_p = (4.0 / 3.0) / max(lam, 1e-30)
+        Dinv = ssp.diags(1.0 / d_safe)
+        P = (P0 - omega_p * (Dinv @ (Al @ P0))).tocsr()
+        Ac = (P.T @ Al @ P).tocsr()
+        Ac.sum_duplicates()
+        levels_p.append(P)
+        levels_a.append(Ac)
+        sizes.append(n_agg)
+
+    if len(sizes) == 1:
+        return None                # could not coarsen at all
+    if sizes[-1] > 4 * coarsest_max:
+        return None                # stuck while still too big
+
+    a_cols, a_vals, p_cols, p_vals, pt_cols, pt_vals, inv_d = \
+        [], [], [], [], [], [], []
+    for li, Al in enumerate(levels_a):
+        c, v = _csr_to_ell(Al)
+        a_cols.append(jnp.asarray(c))
+        a_vals.append(jnp.asarray(v, dtype=dtype))
+        d = np.asarray(Al.diagonal(), dtype=np.float64)
+        inv_d.append(jnp.asarray(np.where(d != 0, 1.0 / d, 0.0),
+                                 dtype=dtype))
+    for P in levels_p:
+        c, v = _csr_to_ell(P)
+        p_cols.append(jnp.asarray(c))
+        p_vals.append(jnp.asarray(v, dtype=dtype))
+        ct, vt = _csr_to_ell(P.T.tocsr())
+        pt_cols.append(jnp.asarray(ct))
+        pt_vals.append(jnp.asarray(vt, dtype=dtype))
+    coarse_inv = jnp.asarray(
+        np.linalg.inv(levels_a[-1].toarray()
+                      + 1e-300 * np.eye(sizes[-1])), dtype=dtype)
+
+    arrays = SAMGArrays(
+        a_cols=tuple(a_cols), a_vals=tuple(a_vals),
+        p_cols=tuple(p_cols), p_vals=tuple(p_vals),
+        pt_cols=tuple(pt_cols), pt_vals=tuple(pt_vals),
+        inv_diags=tuple(inv_d), coarse_inv=coarse_inv)
+    meta = SAMGMeta(sizes=tuple(sizes), nu=nu, omega_smooth=omega_smooth)
+    return arrays, meta
+
+
+# ---------------------------------------------------------------------------
+# device V-cycle
+# ---------------------------------------------------------------------------
+
+def _ell_mv(cols, vals, x):
+    xp = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+    return jnp.sum(vals * xp[cols], axis=1)
+
+
+def _vcycle(arrs: SAMGArrays, meta: SAMGMeta, level: int,
+            r: jnp.ndarray) -> jnp.ndarray:
+    last = len(arrs.a_cols) - 1
+    if level == last:
+        return arrs.coarse_inv @ r
+    Dinv = arrs.inv_diags[level]
+    om = meta.omega_smooth
+    spmv = lambda x: _ell_mv(arrs.a_cols[level], arrs.a_vals[level], x)
+
+    e = om * Dinv * r
+    for _ in range(meta.nu - 1):
+        e = e + om * Dinv * (r - spmv(e))
+    rc = _ell_mv(arrs.pt_cols[level], arrs.pt_vals[level], r - spmv(e))
+    ec = _vcycle(arrs, meta, level + 1, rc)
+    e = e + _ell_mv(arrs.p_cols[level], arrs.p_vals[level], ec)
+    for _ in range(meta.nu):
+        e = e + om * Dinv * (r - spmv(e))
+    return e
+
+
+def samg_preconditioner(arrs: SAMGArrays, meta: SAMGMeta) -> Callable:
+    """r -> M^-1 r: one symmetric V(nu, nu) cycle (SPD; valid inside CG)."""
+    def precond(r):
+        return _vcycle(arrs, meta, 0, r)
+
+    return precond
