@@ -293,6 +293,27 @@ def solve_implicit_sharded(
             from pfemfort_tpu.parallel.dist_ell import (
                 build_ell_halo_slotgather)
             sg = build_ell_halo_slotgather(cols_local, wx, Prow)
+        amg = None
+        if precond == "amg":
+            # distributed smoothed-aggregation AMG (solve/amg.py): sharded
+            # fine smoothing over THIS branch's halo operator + replicated
+            # algebraic coarse tail — the PC=hypre/gamg class on ANY mesh
+            from pfemfort_tpu.solve.amg import build_dist_samg
+
+            pat = sys_.pattern
+            vals_h = np.asarray(vals_s, dtype=np.float64)
+            row_deg = np.diff(pat.indptr)
+            within = (np.arange(pat.nnz, dtype=np.int64)
+                      - np.repeat(pat.indptr[:-1], row_deg))
+            csr_row = np.repeat(np.arange(pat.n_rows, dtype=np.int64),
+                                row_deg)
+            built = build_dist_samg(
+                pat.indptr, pat.indices, vals_h[csr_row, within],
+                sys_.n_rows_padded, n_shards, ndof=ndof, dtype=dtype)
+            if built is None:
+                precond = "jacobi"
+            else:
+                amg = built
         ic0_blocks = None
         if precond == "ic0":
             # PC=BJACOBI with a per-shard IC(0) sub-factorization — the
@@ -309,7 +330,7 @@ def solve_implicit_sharded(
             device_mesh, cols_s, vals_s, b_s, sr_s, wx,
             rtol=rtol, maxiter=maxiter, sg=sg,
             ndof_block=(ndof if precond == "bjacobi" else 1),
-            ic0_blocks=ic0_blocks)
+            ic0_blocks=ic0_blocks, amg=amg)
         x = jax.block_until_ready(x)
         t_solve = time.perf_counter() - t1
     else:
@@ -327,8 +348,8 @@ def solve_implicit_sharded(
             ndof <= 1 or layout == "replicated"
             or sys_.rows_per_shard % ndof != 0):
         precond_used = "jacobi"  # the solve-body gates fall back to scalar
-    if precond == "ic0" and layout != "ell":
-        precond_used = "jacobi"  # per-shard IC(0) lives on the ELL path
+    if precond in ("ic0", "amg") and layout != "ell":
+        precond_used = "jacobi"  # these PCs live on the ELL path
     timings = dict(pattern_s=t_pattern, assemble_s=t_asm,
                    solve_s=t_solve,
                    assembly_layout=layout,

@@ -202,6 +202,7 @@ def distributed_cg_solve_ell(
     sg=None,
     ndof_block: int = 1,
     ic0_blocks=None,
+    amg=None,
 ):
     """Jacobi-CG over the unstructured per-shard ELL with the pairwise
     ghost exchange (parallel/dist_ell.py:spmv_ell_halo): per-iteration comm
@@ -220,7 +221,12 @@ def distributed_cg_solve_ell(
     `ic0_blocks`: stacked (S, ...) per-shard IC(0) factor arrays
     (solve/ic0.py:build_ic0_shard_blocks) — PC=BJACOBI with one ILU-class
     sub-factorization per rank, the reference's ACTUAL parallel default
-    (block-Jacobi's default sub-PC is ILU).  Overrides `ndof_block`."""
+    (block-Jacobi's default sub-PC is ILU).  Overrides `ndof_block`.
+
+    `amg`: (DistSAMG, metas) from solve/amg.py:build_dist_samg — the
+    distributed smoothed-aggregation V-cycle (sharded fine smoothing +
+    replicated algebraic tail); mesh-independent iterations on ANY mesh.
+    Takes precedence over the other preconditioners."""
     from pfemfort_tpu.parallel.dist_ell import (
         spmv_ell_halo, spmv_ell_halo_sg)
 
@@ -238,11 +244,26 @@ def distributed_cg_solve_ell(
         ic_arrays = tuple(jnp.asarray(a, dtype=vals.dtype)
                           if a.dtype == np.float64 else jnp.asarray(a)
                           for a in ic0_blocks)
+    amg_sharded = ()
+    amg_repl = None
+    amg_metas = None
+    if amg is not None:
+        dist_amg, amg_metas = amg
+        amg_sharded = (dist_amg.p_cols_s,
+                       dist_amg.p_vals_s.astype(vals.dtype))
+        amg_repl = (dist_amg.pt0_cols,
+                    dist_amg.pt0_vals.astype(vals.dtype),
+                    jax.tree.map(
+                        lambda a: (a.astype(vals.dtype)
+                                   if a.dtype in (jnp.float32, jnp.float64)
+                                   else a), dist_amg.tail))
     n_sg = len(sg_arrays)
+    n_ic = len(ic_arrays)
 
     def body(cols_l, vals_l, send_rows_l, b_l, *rest):
         sg_l = rest[:n_sg]
-        ic_l = rest[n_sg:]
+        ic_l = rest[n_sg:n_sg + n_ic]
+        amg_l = rest[n_sg + n_ic:]
         if sg_dims is not None:
             sgp = tuple(a[0] for a in sg_l)      # drop the unit shard dim
             src_l = sgp[4]
@@ -271,7 +292,16 @@ def distributed_cg_solve_ell(
             pair = jax.lax.psum(pair, axis)
             return pair[0], pair[1]
 
-        if ic_l:
+        if amg_metas is not None:
+            from pfemfort_tpu.solve.amg import dist_samg_preconditioner
+            pc_l, pv_l = (a[0] for a in amg_l[:2])
+            pt0c, pt0v, tail = amg_l[2]
+            d = local_diag()
+            inv_d = jnp.where(d != 0, 1.0 / d, 0.0)
+            precond = dist_samg_preconditioner(
+                pc_l, pv_l, pt0c, pt0v, tail, amg_metas, inv_d,
+                operator, axis)
+        elif ic_l:
             from pfemfort_tpu.solve.ic0 import ic0_block_apply
             tc_, tv_, ttc_, ttv_, di_ = (a[0] for a in ic_l)
             precond = ic0_block_apply(tc_, tv_, ttc_, ttv_, di_)
@@ -286,17 +316,23 @@ def distributed_cg_solve_ell(
             rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
         return jax.lax.all_gather(x_l, axis, tiled=True), stats
 
+    amg_args = amg_sharded + ((amg_repl,) if amg_repl is not None else ())
+    amg_specs = tuple(P(axis, *([None] * (a.ndim - 1)))
+                      for a in amg_sharded)
+    if amg_repl is not None:
+        amg_specs = amg_specs + (P(),)      # replicated tail pytree
     mapped = jax.shard_map(
         body,
         mesh=device_mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis))
         + tuple(P(axis, *([None] * (a.ndim - 1)))
-                for a in sg_arrays + ic_arrays),
+                for a in sg_arrays + ic_arrays)
+        + amg_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped)(cols_local, vals, send_rows, b,
-                           *sg_arrays, *ic_arrays)
+                           *sg_arrays, *ic_arrays, *amg_args)
 
 
 def distributed_cg_solve_dia(

@@ -181,8 +181,9 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         a_cols.append(jnp.asarray(c))
         a_vals.append(jnp.asarray(v, dtype=dtype))
         d = np.asarray(Al.diagonal(), dtype=np.float64)
-        inv_d.append(jnp.asarray(np.where(d != 0, 1.0 / d, 0.0),
-                                 dtype=dtype))
+        dinv = np.zeros_like(d)
+        np.divide(1.0, d, out=dinv, where=d != 0)
+        inv_d.append(jnp.asarray(dinv, dtype=dtype))
     for P in levels_p:
         c, v = _csr_to_ell(P)
         p_cols.append(jnp.asarray(c))
@@ -190,9 +191,13 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         ct, vt = _csr_to_ell(P.T.tocsr())
         pt_cols.append(jnp.asarray(ct))
         pt_vals.append(jnp.asarray(vt, dtype=dtype))
-    coarse_inv = jnp.asarray(
-        np.linalg.inv(levels_a[-1].toarray()
-                      + 1e-300 * np.eye(sizes[-1])), dtype=dtype)
+    Ad = np.asarray(levels_a[-1].toarray(), dtype=np.float64)
+    dz = np.abs(np.diag(Ad)) < 1e-290       # padding/empty aggregates
+    if dz.any():
+        Ad[dz, :] = 0.0
+        Ad[:, dz] = 0.0
+        Ad[dz, dz] = 1.0
+    coarse_inv = jnp.asarray(np.linalg.inv(Ad), dtype=dtype)
 
     arrays = SAMGArrays(
         a_cols=tuple(a_cols), a_vals=tuple(a_vals),
@@ -236,5 +241,84 @@ def samg_preconditioner(arrs: SAMGArrays, meta: SAMGMeta) -> Callable:
     """r -> M^-1 r: one symmetric V(nu, nu) cycle (SPD; valid inside CG)."""
     def precond(r):
         return _vcycle(arrs, meta, 0, r)
+
+    return precond
+
+
+# ---------------------------------------------------------------------------
+# distributed form: sharded fine smoothing + replicated algebraic tail
+# ---------------------------------------------------------------------------
+
+class DistSAMG(NamedTuple):
+    """Fine level split per shard; levels 1+ replicated (pytree).
+
+    The fine operator itself is NOT here — the distributed CG already has
+    it (the per-shard ELL + pairwise ghost exchange); only the prolongator
+    rows are row-split so the correction applies without any gather.  Per
+    preconditioner application the comms are 2*nu halo exchanges (the
+    smoothing SpMVs) + ONE all_gather of the fine residual for the
+    restriction; the tail runs redundantly on every shard (sizes shrink
+    ~8x per level — the same replicated-coarse pattern as
+    parallel/dist_mg.py, but algebraic)."""
+    p_cols_s: jax.Array            # (S, P, Kp) fine prolongator row blocks
+    p_vals_s: jax.Array
+    pt0_cols: jax.Array            # restriction from the (padded) fine level
+    pt0_vals: jax.Array
+    tail: SAMGArrays               # hierarchy from level 1 down
+
+
+def build_dist_samg(indptr, indices, vals, n_rows_padded: int,
+                    n_shards: int, ndof: int = 1,
+                    dtype=jnp.float32, **kw
+                    ) -> Optional[Tuple[DistSAMG, SAMGMeta]]:
+    """Build the global SA hierarchy from the shard-ordered padded system
+    (zero padding rows aggregate to singletons and never couple) and split
+    the fine prolongator by shard-row ownership."""
+    built = build_samg(indptr, indices, vals, n_rows_padded, ndof=ndof,
+                       dtype=dtype, **kw)
+    if built is None:
+        return None
+    arrs, meta = built
+    if len(arrs.a_cols) < 2:
+        return None
+    P_rows = n_rows_padded // n_shards
+    p_cols = np.asarray(arrs.p_cols[0])
+    p_vals = np.asarray(arrs.p_vals[0])
+    p_cols_s = p_cols.reshape(n_shards, P_rows, -1)
+    p_vals_s = p_vals.reshape(n_shards, P_rows, -1)
+    tail = SAMGArrays(
+        a_cols=arrs.a_cols[1:], a_vals=arrs.a_vals[1:],
+        p_cols=arrs.p_cols[1:], p_vals=arrs.p_vals[1:],
+        pt_cols=arrs.pt_cols[1:], pt_vals=arrs.pt_vals[1:],
+        inv_diags=arrs.inv_diags[1:], coarse_inv=arrs.coarse_inv)
+    dist = DistSAMG(
+        p_cols_s=jnp.asarray(p_cols_s), p_vals_s=jnp.asarray(p_vals_s),
+        pt0_cols=arrs.pt_cols[0], pt0_vals=arrs.pt_vals[0], tail=tail)
+    tail_meta = SAMGMeta(sizes=meta.sizes[1:], nu=meta.nu,
+                         omega_smooth=meta.omega_smooth)
+    return dist, (meta, tail_meta)
+
+
+def dist_samg_preconditioner(p_cols_l, p_vals_l, pt0_cols, pt0_vals,
+                             tail: SAMGArrays, metas, inv_diag_l,
+                             spmv_l: Callable, axis: str) -> Callable:
+    """r_l -> M^-1 r_l inside shard_map.  `spmv_l`: the shard-local fine
+    operator (the distributed CG's own halo SpMV); `p_cols_l/p_vals_l`:
+    THIS shard's prolongator row block; pt0/tail replicated.  Build
+    OUTSIDE the CG loop."""
+    meta, tail_meta = metas
+    om = meta.omega_smooth
+
+    def precond(r_l):
+        e = om * inv_diag_l * r_l
+        for _ in range(meta.nu - 1):
+            e = e + om * inv_diag_l * (r_l - spmv_l(e))
+        rf = jax.lax.all_gather(r_l - spmv_l(e), axis, tiled=True)
+        rc = _ell_mv(pt0_cols, pt0_vals, rf)
+        ec = _vcycle(tail, tail_meta, 0, rc)
+        e = e + _ell_mv(p_cols_l, p_vals_l, ec)
+        for _ in range(meta.nu):
+            e = e + om * inv_diag_l * (r_l - spmv_l(e))
+        return e
 
     return precond

@@ -108,3 +108,68 @@ def test_options_file_gamg_maps_to_amg():
     assert o.pc_type == "amg"
     o2 = SolverOptions.from_options("-pc_type ilu\n")
     assert o2.pc_type == "ic0"
+
+
+def _mesh_or_skip(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices")
+    return jax.sharding.Mesh(np.array(devs[:n]), ("shard",))
+
+
+def test_distributed_amg_mesh_independent():
+    """precond='amg' on the unstructured DISTRIBUTED path: sharded fine
+    smoothing over the halo operator + replicated algebraic coarse tail —
+    mesh-independent iterations across 4 shards where Jacobi grows O(n)."""
+    from pfemfort_tpu.drivers.sharded import solve_implicit_sharded
+
+    dm = _mesh_or_skip(4)
+    its = {}
+    for n in (12, 20):
+        mesh, dbc = _scrambled(n, seed=1)
+        res = solve_implicit_sharded(mesh, 1, dbc, POISSON, device_mesh=dm,
+                                     rtol=1e-10, recover=False,
+                                     precond="amg")
+        assert res.timings["assembly_layout"] == "ell", res.timings
+        assert res.timings["precond_used"] == "amg"
+        assert bool(np.asarray(res.stats.converged))
+        err = np.abs(res.u_full - (mesh.coords ** 2).sum(axis=1)).max()
+        assert err < 1e-6
+        its[n] = int(np.asarray(res.stats.iters))
+    assert its[20] <= its[12] + 4, its
+    assert its[20] <= 30, its
+
+
+def test_distributed_amg_elasticity():
+    """ndof=3 through the distributed AMG (dof-granular aggregation): must
+    converge markedly faster than Jacobi with the same solution."""
+    from pfemfort_tpu.drivers.sharded import solve_implicit_sharded
+    from pfemfort_tpu.elements.elasticity import dmat_3d, elasticity_stiffness
+    from pfemfort_tpu.mesh import generate
+
+    dm = _mesh_or_skip(4)
+    mesh, _ = generate.box_tet(0, 1, 6, 0, 1, 6, 0, 1, 10)
+    perm = np.random.default_rng(2).permutation(mesh.n_node)
+    mesh = mesh.renumbered(perm.astype(np.int64))
+    bnodes = generate.boundary_nodes(mesh)
+    U = lambda X: np.stack([0.1 * X[:, 0], 0.05 * X[:, 1],
+                            -0.03 * X[:, 2]], axis=1)
+    ub = U(mesh.coords[bnodes])
+    dbc = np.concatenate([
+        np.stack([bnodes, np.full(len(bnodes), d), ub[:, d]], axis=1)
+        for d in range(3)])
+    efn = lambda c: elasticity_stiffness(c, "tetra4", dmat_3d(210.0, 0.3))
+    runs = {}
+    for pc in ("jacobi", "amg"):
+        res = solve_implicit_sharded(mesh, 3, dbc, efn, device_mesh=dm,
+                                     rtol=1e-10, recover=False, precond=pc)
+        assert bool(np.asarray(res.stats.converged))
+        runs[pc] = res
+    ue = U(mesh.coords).reshape(-1)
+    assert np.abs(runs["amg"].u_full - ue).max() < 1e-7
+    # dof-granular aggregation without rigid-body-mode enrichment is the
+    # documented weak spot for vector problems: still a real win (48 vs 67
+    # measured), just not the scalar-Poisson 5x
+    assert (int(runs["amg"].stats.iters)
+            < 0.85 * int(runs["jacobi"].stats.iters)), (
+        int(runs["amg"].stats.iters), int(runs["jacobi"].stats.iters))
