@@ -35,7 +35,7 @@ PEAK_HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5": 819.0,
 # external timeout; staying inside our OWN deadline is what guarantees the
 # final JSON line is printed and every completed stage is recorded
 # (VERDICT r3 weak #1: rc=124 recorded NOTHING for the round-3 stages).
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "820"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "700"))
 _T0 = time.perf_counter()
 _PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_PARTIAL.json")
@@ -962,7 +962,7 @@ def main():
 
     nnz_per_s = 0.0
     try:
-        with stage_guard("flagship", 300):
+        with stage_guard("flagship", 280):
             nnz_per_s = flagship(n, detail)
     except Exception as ex:
         _log(f"flagship failed: {type(ex).__name__}: {str(ex)[:300]}")
@@ -972,8 +972,8 @@ def main():
     # stage order: cheapest evidence first after the flagship, the 48M +
     # 1e-8 headline before the compile-heavy unstructured tail
     stages = [
-        ("dist_spmv", 120.0, lambda: dist_spmv_stage(n, detail)),
-        ("large", 340.0, lambda: large_stage(n_large, detail)),
+        ("dist_spmv", 100.0, lambda: dist_spmv_stage(n, detail)),
+        ("large", 320.0, lambda: large_stage(n_large, detail)),
         ("unstructured", 220.0, lambda: unstructured_stage(max(n, 16),
                                                            detail)),
     ]

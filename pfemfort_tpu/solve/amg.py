@@ -124,17 +124,22 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                n: int, ndof: int = 1, theta: float = 0.08,
                coarsest_max: int = 800, max_levels: int = 12,
                nu: int = 1, omega_smooth: float = 0.7,
+               node_block: int = 1,
                dtype=jnp.float32) -> Optional[Tuple[SAMGArrays, SAMGMeta]]:
     """Build the hierarchy from a host CSR of the (reduced, SPD) system.
 
-    For ndof > 1 the aggregation runs on the NODE graph (rows grouped in
-    ndof blocks, which solve_implicit's reduced numbering does not
-    guarantee — callers pass ndof=1 to aggregate at dof granularity, which
-    remains a valid SPD preconditioner, just with slightly weaker coarse
-    spaces for vector problems)."""
+    `node_block` > 1: rows come in aligned blocks of that size (every node
+    owns node_block consecutive rows — the distributed shard layout
+    guarantees this, parallel/shard.py); aggregation then runs on the NODE
+    graph and the tentative prolongator keeps one column per aggregate per
+    COMPONENT, preserving the vector structure (translations as the near-
+    nullspace).  With node_block=1 (solve_implicit's reduced numbering has
+    no alignment guarantee) aggregation is dof-granular — still a valid
+    SPD preconditioner, just weaker coarse spaces for vector problems."""
     import scipy.sparse as ssp
 
     A = ssp.csr_matrix((vals, indices, indptr), shape=(n, n))
+    nb = node_block if (node_block > 1 and n % node_block == 0) else 1
     levels_a: List = [A]
     levels_p: List = []
     sizes = [n]
@@ -149,15 +154,37 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         av = np.abs(np.asarray(Al.data, dtype=np.float64))
         thr = theta * np.sqrt(d_safe[rows] * d_safe[cols])
         keep = (av > thr) & (rows != cols)
-        S = ssp.csr_matrix((np.ones(int(keep.sum()), np.float32),
-                            (rows[keep], cols[keep])), shape=(nl, nl))
-        agg, n_agg = _aggregate(S.indptr, S.indices.astype(np.int64), nl)
-        if n_agg >= nl:            # no coarsening progress: stop here
-            break
-        # tentative piecewise-constant prolongator, then one Jacobi smooth
-        P0 = ssp.csr_matrix(
-            (np.ones(nl, np.float64),
-             (np.arange(nl, dtype=np.int64), agg)), shape=(nl, n_agg))
+        nbl = nb if (nb > 1 and nl % nb == 0) else 1
+        if nbl > 1:
+            # condense to the node-block graph, aggregate nodes, expand the
+            # tentative prolongator per component
+            rb_, cb_ = rows[keep] // nbl, cols[keep] // nbl
+            off = rb_ != cb_
+            S = ssp.csr_matrix(
+                (np.ones(int(off.sum()), np.float32),
+                 (rb_[off], cb_[off])), shape=(nl // nbl, nl // nbl))
+            agg_n, n_agg_n = _aggregate(S.indptr,
+                                        S.indices.astype(np.int64),
+                                        nl // nbl)
+            if n_agg_n >= nl // nbl:
+                break
+            r_all = np.arange(nl, dtype=np.int64)
+            agg_cols = agg_n[r_all // nbl] * nbl + (r_all % nbl)
+            n_agg = n_agg_n * nbl
+            P0 = ssp.csr_matrix(
+                (np.ones(nl, np.float64), (r_all, agg_cols)),
+                shape=(nl, n_agg))
+        else:
+            S = ssp.csr_matrix((np.ones(int(keep.sum()), np.float32),
+                                (rows[keep], cols[keep])), shape=(nl, nl))
+            agg, n_agg = _aggregate(S.indptr, S.indices.astype(np.int64),
+                                    nl)
+            if n_agg >= nl:        # no coarsening progress: stop here
+                break
+            # tentative piecewise-constant prolongator
+            P0 = ssp.csr_matrix(
+                (np.ones(nl, np.float64),
+                 (np.arange(nl, dtype=np.int64), agg)), shape=(nl, n_agg))
         absrow = np.asarray(np.abs(Al).sum(axis=1)).reshape(-1)
         lam = float(np.max(absrow / d_safe))       # Gershgorin on D^-1 A
         omega_p = (4.0 / 3.0) / max(lam, 1e-30)
@@ -273,9 +300,11 @@ def build_dist_samg(indptr, indices, vals, n_rows_padded: int,
                     ) -> Optional[Tuple[DistSAMG, SAMGMeta]]:
     """Build the global SA hierarchy from the shard-ordered padded system
     (zero padding rows aggregate to singletons and never couple) and split
-    the fine prolongator by shard-row ownership."""
+    the fine prolongator by shard-row ownership.  The shard layout is
+    node-aligned for ndof > 1 (parallel/shard.py), so aggregation runs on
+    the node graph with per-component coarse spaces."""
     built = build_samg(indptr, indices, vals, n_rows_padded, ndof=ndof,
-                       dtype=dtype, **kw)
+                       node_block=ndof, dtype=dtype, **kw)
     if built is None:
         return None
     arrs, meta = built

@@ -167,9 +167,9 @@ def test_distributed_amg_elasticity():
         runs[pc] = res
     ue = U(mesh.coords).reshape(-1)
     assert np.abs(runs["amg"].u_full - ue).max() < 1e-7
-    # dof-granular aggregation without rigid-body-mode enrichment is the
-    # documented weak spot for vector problems: still a real win (48 vs 67
-    # measured), just not the scalar-Poisson 5x
+    # node-block aggregation (the dist layout is node-aligned) keeps the
+    # vector structure: 43 vs 67 measured; rotations in the near-nullspace
+    # would tighten further, a documented future refinement
     assert (int(runs["amg"].stats.iters)
-            < 0.85 * int(runs["jacobi"].stats.iters)), (
+            < 0.7 * int(runs["jacobi"].stats.iters)), (
         int(runs["amg"].stats.iters), int(runs["jacobi"].stats.iters))
