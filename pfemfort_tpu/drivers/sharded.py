@@ -307,9 +307,15 @@ def solve_implicit_sharded(
                       - np.repeat(pat.indptr[:-1], row_deg))
             csr_row = np.repeat(np.arange(pat.n_rows, dtype=np.int64),
                                 row_deg)
+            rows_xyz = np.zeros((sys_.n_rows_padded, mesh.ndim))
+            rows_comp = np.zeros(sys_.n_rows_padded, dtype=np.int64)
+            nodedof = sys_.dofmap.assy_for_soln
+            rows_xyz[sys_.eq_perm] = mesh.coords[nodedof // ndof]
+            rows_comp[sys_.eq_perm] = nodedof % ndof
             built = build_dist_samg(
                 pat.indptr, pat.indices, vals_h[csr_row, within],
-                sys_.n_rows_padded, n_shards, ndof=ndof, dtype=dtype)
+                sys_.n_rows_padded, n_shards, ndof=ndof,
+                coords_rows=rows_xyz, comp_rows=rows_comp, dtype=dtype)
             if built is None:
                 precond = "jacobi"
             else:

@@ -86,6 +86,77 @@ def _aggregate(S_indptr, S_indices, n: int) -> Tuple[np.ndarray, int]:
     return agg, n_agg
 
 
+def _rigid_body_modes(coords_rows: np.ndarray, comp: np.ndarray,
+                      ndof: int) -> np.ndarray:
+    """Near-nullspace B (n, k) for elasticity: translations + rotations.
+
+    coords_rows: per-ROW node coordinates; comp: per-row dof component.
+    ndof=3 -> k=6 (3 translations, 3 rotations); ndof=2 -> k=3."""
+    n = coords_rows.shape[0]
+    x, y = coords_rows[:, 0], coords_rows[:, 1]
+    z = coords_rows[:, 2] if coords_rows.shape[1] > 2 else np.zeros(n)
+    cols = []
+    for d in range(ndof):                      # translations
+        cols.append((comp == d).astype(np.float64))
+    if ndof >= 2:                              # rotation about z: (-y, x)
+        cols.append(np.where(comp == 0, -y, np.where(comp == 1, x, 0.0)))
+    if ndof == 3:                              # about x: (0, -z, y)
+        cols.append(np.where(comp == 1, -z, np.where(comp == 2, y, 0.0)))
+        # about y: (z, 0, -x)
+        cols.append(np.where(comp == 0, z, np.where(comp == 2, -x, 0.0)))
+    return np.stack(cols, axis=1)
+
+
+def _tentative_from_nullspace(agg_of_row: np.ndarray, n_agg: int,
+                              B: np.ndarray):
+    """Aggregate-wise QR of the near-nullspace: P0 (n, n_agg*k) with the
+    orthonormal Q blocks, and the coarse nullspace Bc (n_agg*k, k) from
+    the R factors (the standard SA recursion).  Rank-deficient aggregates
+    (too few rows for k modes) keep zero columns — the guarded coarsest
+    inverse treats the resulting zero coarse rows as identity."""
+    import scipy.sparse as ssp
+
+    n, k = B.shape
+    order = np.argsort(agg_of_row, kind="stable")
+    sizes = np.bincount(agg_of_row, minlength=n_agg)
+    starts = np.zeros(n_agg + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    rows_sorted = order
+    P0_rows, P0_cols, P0_vals = [], [], []
+    Bc = np.zeros((n_agg * k, k), dtype=np.float64)
+    # bucket aggregates by size: one BATCHED QR per size class
+    for m in np.unique(sizes):
+        if m == 0:
+            continue
+        aggs = np.nonzero(sizes == m)[0]
+        idx = (starts[aggs][:, None]
+               + np.arange(m)[None, :])        # (n_aggs_m, m)
+        rws = rows_sorted[idx]                 # member rows per aggregate
+        Bb = B[rws]                            # (n_aggs_m, m, k)
+        Q, R = np.linalg.qr(Bb)                # reduced: (m, min(m,k))
+        kk = Q.shape[2]
+        # zero out columns whose pivot is ~0 (rank deficiency)
+        piv = np.abs(R[:, np.arange(kk), np.arange(kk)])
+        scale = np.maximum(np.abs(R).max(axis=(1, 2), keepdims=False),
+                           1e-300)
+        ok = piv > 1e-10 * scale[:, None]      # (n_aggs_m, kk)
+        Q = np.where(ok[:, None, :], Q, 0.0)
+        R = np.where(ok[:, :, None], R, 0.0)
+        P0_rows.append(np.broadcast_to(rws[:, :, None],
+                                       (len(aggs), m, kk)).ravel())
+        P0_cols.append((aggs[:, None, None] * k
+                        + np.arange(kk)[None, None, :]
+                        + np.zeros((1, m, 1), np.int64)).ravel())
+        P0_vals.append(Q.ravel())
+        rows_bc = (aggs[:, None] * k + np.arange(kk)[None, :]).ravel()
+        Bc[rows_bc] = R.reshape(len(aggs) * kk, k)
+    P0 = ssp.csr_matrix(
+        (np.concatenate(P0_vals),
+         (np.concatenate(P0_rows), np.concatenate(P0_cols))),
+        shape=(n, n_agg * k))
+    return P0, Bc
+
+
 def _csr_to_ell(S, lane_pad: int = 8):
     """scipy CSR -> padded-ELL numpy (cols sentinel = n_cols)."""
     S = S.tocsr()
@@ -123,8 +194,10 @@ class SAMGMeta:
 def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                n: int, ndof: int = 1, theta: float = 0.08,
                coarsest_max: int = 800, max_levels: int = 12,
-               nu: int = 1, omega_smooth: float = 0.7,
+               nu: Optional[int] = None,
+               omega_smooth: Optional[float] = None,
                node_block: int = 1,
+               nullspace: Optional[np.ndarray] = None,
                dtype=jnp.float32) -> Optional[Tuple[SAMGArrays, SAMGMeta]]:
     """Build the hierarchy from a host CSR of the (reduced, SPD) system.
 
@@ -138,8 +211,20 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
     SPD preconditioner, just weaker coarse spaces for vector problems."""
     import scipy.sparse as ssp
 
+    # ndof-aware smoothing (same finding as parallel/dist_mg.py): vector
+    # problems need nu=2 sweeps at omega=0.6 — measured 43 -> 16 iterations
+    # on a 4-shard elasticity box vs the scalar defaults
+    if nu is None:
+        nu = 1 if ndof == 1 else 2
+    if omega_smooth is None:
+        omega_smooth = 0.7 if ndof == 1 else 0.6
+
     A = ssp.csr_matrix((vals, indices, indptr), shape=(n, n))
     nb = node_block if (node_block > 1 and n % node_block == 0) else 1
+    B_ns = None
+    if nullspace is not None and nb > 1:
+        B_ns = np.asarray(nullspace, dtype=np.float64)
+        assert B_ns.shape[0] == n
     levels_a: List = [A]
     levels_p: List = []
     sizes = [n]
@@ -169,11 +254,20 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
             if n_agg_n >= nl // nbl:
                 break
             r_all = np.arange(nl, dtype=np.int64)
-            agg_cols = agg_n[r_all // nbl] * nbl + (r_all % nbl)
-            n_agg = n_agg_n * nbl
-            P0 = ssp.csr_matrix(
-                (np.ones(nl, np.float64), (r_all, agg_cols)),
-                shape=(nl, n_agg))
+            if B_ns is not None:
+                # classic SA recursion: aggregate-wise QR of the carried
+                # near-nullspace (rigid-body modes on the fine level)
+                P0, B_next = _tentative_from_nullspace(
+                    agg_n[r_all // nbl], n_agg_n, B_ns)
+                n_agg = P0.shape[1]
+                B_ns = B_next
+                nb = B_ns.shape[1]        # coarse blocks = k modes
+            else:
+                agg_cols = agg_n[r_all // nbl] * nbl + (r_all % nbl)
+                n_agg = n_agg_n * nbl
+                P0 = ssp.csr_matrix(
+                    (np.ones(nl, np.float64), (r_all, agg_cols)),
+                    shape=(nl, n_agg))
         else:
             S = ssp.csr_matrix((np.ones(int(keep.sum()), np.float32),
                                 (rows[keep], cols[keep])), shape=(nl, nl))
@@ -296,15 +390,22 @@ class DistSAMG(NamedTuple):
 
 def build_dist_samg(indptr, indices, vals, n_rows_padded: int,
                     n_shards: int, ndof: int = 1,
+                    coords_rows: Optional[np.ndarray] = None,
+                    comp_rows: Optional[np.ndarray] = None,
                     dtype=jnp.float32, **kw
                     ) -> Optional[Tuple[DistSAMG, SAMGMeta]]:
     """Build the global SA hierarchy from the shard-ordered padded system
     (zero padding rows aggregate to singletons and never couple) and split
     the fine prolongator by shard-row ownership.  The shard layout is
     node-aligned for ndof > 1 (parallel/shard.py), so aggregation runs on
-    the node graph with per-component coarse spaces."""
+    the node graph; with per-row coordinates the tentative prolongators
+    carry the full rigid-body near-nullspace (translations + rotations)."""
+    ns = None
+    if ndof > 1 and coords_rows is not None and comp_rows is not None:
+        ns = _rigid_body_modes(np.asarray(coords_rows),
+                               np.asarray(comp_rows), ndof)
     built = build_samg(indptr, indices, vals, n_rows_padded, ndof=ndof,
-                       node_block=ndof, dtype=dtype, **kw)
+                       node_block=ndof, nullspace=ns, dtype=dtype, **kw)
     if built is None:
         return None
     arrs, meta = built
