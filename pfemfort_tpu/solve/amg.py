@@ -26,6 +26,14 @@ smoothed-aggregation construction (Vanek/Mandel/Brezina):
 
 All level arrays are a pytree passed INTO jit as arguments (tens of MB of
 constants would re-ship with every remote compile, memory: HTTP 413).
+
+TPU cost honesty: the V-cycle's P/P^T and level-operator products are
+plain ELL gathers, which XLA lowers to the scalar core (~1 GB/s).  On the
+DISTRIBUTED path the fine-level smoothing runs through the branch's own
+halo operator (slot-gather Pallas on TPU), so only the O(N/8) tail pays
+the scalar-gather rate; routing the tail through per-level slot-gather
+plans is the known next optimization.  Iteration-count reduction (O(n) ->
+~constant) is the load-bearing property and is what the tests pin.
 """
 
 from __future__ import annotations
@@ -237,9 +245,40 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         rows = np.repeat(np.arange(nl, dtype=np.int64), np.diff(Al.indptr))
         cols = Al.indices.astype(np.int64)
         av = np.abs(np.asarray(Al.data, dtype=np.float64))
-        thr = theta * np.sqrt(d_safe[rows] * d_safe[cols])
-        keep = (av > thr) & (rows != cols)
         nbl = nb if (nb > 1 and nl % nb == 0) else 1
+        # theta backoff: Galerkin densification makes deep coarse operators
+        # diagonally dominant — a fixed strength threshold can leave the
+        # graph EMPTY (every node becomes its own aggregate = no progress);
+        # retry with a weaker threshold, then with all off-diag connections
+        made_progress = False
+        for th_try in (theta, 0.1 * theta, 0.0):
+            thr = th_try * np.sqrt(d_safe[rows] * d_safe[cols])
+            keep = (av > thr) & (rows != cols)
+            if nbl > 1:
+                rb_p = rows[keep] // nbl
+                cb_p = cols[keep] // nbl
+                off_p = rb_p != cb_p
+                Sp = ssp.csr_matrix(
+                    (np.ones(int(off_p.sum()), np.float32),
+                     (rb_p[off_p], cb_p[off_p])),
+                    shape=(nl // nbl, nl // nbl))
+                _, na_p = _aggregate(Sp.indptr,
+                                     Sp.indices.astype(np.int64),
+                                     nl // nbl)
+                if na_p < nl // nbl:
+                    made_progress = True
+                    break
+            else:
+                Sp = ssp.csr_matrix(
+                    (np.ones(int(keep.sum()), np.float32),
+                     (rows[keep], cols[keep])), shape=(nl, nl))
+                _, na_p = _aggregate(Sp.indptr,
+                                     Sp.indices.astype(np.int64), nl)
+                if na_p < nl:
+                    made_progress = True
+                    break
+        if not made_progress:
+            break
         if nbl > 1:
             # condense to the node-block graph, aggregate nodes, expand the
             # tentative prolongator per component
@@ -292,8 +331,9 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
 
     if len(sizes) == 1:
         return None                # could not coarsen at all
-    if sizes[-1] > 4 * coarsest_max:
-        return None                # stuck while still too big
+    if sizes[-1] > max(4 * coarsest_max, 8192):
+        return None                # stuck while still too big for a dense
+        #                            coarsest inverse (8k^2 f32 = 256 MB)
 
     a_cols, a_vals, p_cols, p_vals, pt_cols, pt_vals, inv_d = \
         [], [], [], [], [], [], []
