@@ -53,6 +53,17 @@ from pfemfort_tpu.parallel.shard_cg import (
 from pfemfort_tpu.sparse.dia import DIAMatrix
 
 
+def _host_values(vals_s, device_mesh) -> np.ndarray:
+    """Multiprocess-safe host copy of a sharded device array: replicate
+    across the mesh, then read the local replica (np.asarray on a
+    cross-process sharded array raises)."""
+    if jax.process_count() == 1:
+        return np.asarray(vals_s)
+    rep = jax.jit(lambda v: v,
+                  out_shardings=NamedSharding(device_mesh, P()))(vals_s)
+    return np.asarray(rep.addressable_data(0))
+
+
 def _force_vector(dofmap, eq_perm, n_rows_padded, force_bc) -> np.ndarray:
     """Nodal ForceBC rows -> padded shard-ordered external force vector
     (the reference's rhs VecSetValues with row-ownership guard,
@@ -301,7 +312,7 @@ def solve_implicit_sharded(
             from pfemfort_tpu.solve.amg import build_dist_samg
 
             pat = sys_.pattern
-            vals_h = np.asarray(vals_s, dtype=np.float64)
+            vals_h = _host_values(vals_s, device_mesh).astype(np.float64)
             row_deg = np.diff(pat.indptr)
             within = (np.arange(pat.nnz, dtype=np.int64)
                       - np.repeat(pat.indptr[:-1], row_deg))
@@ -327,8 +338,8 @@ def solve_implicit_sharded(
             # sub-PC is ILU; solverpetsc.F:206)
             from pfemfort_tpu.solve.ic0 import build_ic0_shard_blocks
 
-            ic0_blocks = build_ic0_shard_blocks(cols_local,
-                                                np.asarray(vals_s))
+            ic0_blocks = build_ic0_shard_blocks(
+                cols_local, _host_values(vals_s, device_mesh))
             if ic0_blocks is None:
                 precond = "jacobi"
         t1 = time.perf_counter()

@@ -42,7 +42,9 @@ from pfemfort_tpu.drivers.partitioned import (  # noqa: E402
     solve_poisson_partitioned,
 )
 
-kw = dict(recover=False) if mode == "ell" else {}
+# the ell leg also drives the reference's parallel default PC across the
+# REAL process boundary: per-shard IC(0) under block-Jacobi
+kw = dict(recover=False, precond="ic0") if mode == "ell" else {}
 mesh, res = solve_poisson_partitioned(
     prefix, nproc, multiprocess=True,
     device_mesh=multihost.global_mesh(), rtol=1e-10, **kw)
@@ -50,6 +52,7 @@ mesh, res = solve_poisson_partitioned(
 assert bool(np.asarray(res.stats.converged)), res.stats
 if mode == "ell":
     assert res.timings["assembly_layout"] == "ell", res.timings
+    assert res.timings["precond_used"] == "ic0", res.timings
 u_exact = (mesh.coords ** 2).sum(axis=1)
 err = float(np.abs(res.u_full - u_exact).max())
 assert err < 1e-6, err

@@ -185,6 +185,28 @@ def main():
            and it6 <= 25)
     assert bool(np.asarray(st6.converged)) and e6 < 5e-4 and it6 <= 25
 
+    # --- 7. distributed SA-AMG on-chip (1-shard mesh) ----------------------
+    # sharded fine smoothing runs over the slot-gather halo operator; the
+    # replicated algebraic tail is XLA ELL gathers — the whole composition
+    # must execute and converge on hardware
+    mesh7, dbc7 = generate.box_tet(0, 1, 16, 0, 1, 16, 0, 1, 16)
+    p7 = np.random.default_rng(7).permutation(mesh7.n_node)
+    mesh7 = mesh7.renumbered(p7.astype(np.int64))
+    dbc7 = dbc7.copy()
+    dbc7[:, 0] = p7[dbc7[:, 0].astype(np.int64)]
+    res7 = solve_implicit_sharded(mesh7, 1, dbc7, ef, device_mesh=dm,
+                                  dtype=jnp.float32, rtol=1e-6,
+                                  maxiter=200, recover=False,
+                                  precond="amg")
+    e7 = np.abs(res7.u_full - (mesh7.coords ** 2).sum(axis=1)).max()
+    it7 = int(np.asarray(res7.stats.iters))
+    print(f"[7] dist amg solve: {it7} iters, err={e7:.1e}, "
+          f"used={res7.timings.get('precond_used')}")
+    record("dist_amg_solve", nodal_err=float(e7), iters=it7,
+           ok=bool(res7.timings.get("precond_used") == "amg"
+                   and e7 < 5e-4 and it7 <= 40))
+    assert res7.timings.get("precond_used") == "amg" and e7 < 5e-4
+
     RESULTS["ok"] = all(s.get("ok") for s in RESULTS["stages"].values())
     print("TPU SMOKE OK")
 
