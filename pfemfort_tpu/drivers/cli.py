@@ -335,7 +335,7 @@ def build_parser():
     sp.add_argument("--shards", type=int, default=0,
                     help="shard the solve over N devices (0 = single)")
     sp.add_argument("--precond",
-                    choices=["jacobi", "bjacobi", "ic0", "mg"],
+                    choices=["jacobi", "bjacobi", "ic0", "amg", "mg"],
                     default="bjacobi",
                     help="sharded-solve preconditioner (bjacobi = per-node "
                          "blocks, the reference default, solverpetsc.F:206; "
