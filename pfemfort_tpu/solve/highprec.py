@@ -32,7 +32,6 @@ import numpy as np
 from pfemfort_tpu.assembly.stencil64 import (
     lattice_bc_f64,
     stencil_full_system_f64,
-    symmetrized_f32,
     zero_rows_f64,
 )
 from pfemfort_tpu.mesh.core import Mesh
@@ -86,7 +85,6 @@ def solve_box_poisson_1e8(
     offsets, vals64, rhs64 = stencil_full_system_f64(mesh, source=source)
     bc_mask, bc_vals = lattice_bc_f64(mesh, dirichlet)
     zero_rows_f64(offsets, vals64, rhs64, bc_mask, bc_vals)
-    sym32 = symmetrized_f32(offsets, vals64, bc_mask)
     timings["host_assemble_s"] = time.perf_counter() - t0
 
     st = mesh.structure
@@ -96,8 +94,28 @@ def solve_box_poisson_1e8(
     t0 = time.perf_counter()
     vals_df = df_from_f64(vals64)
     b_df = df_from_f64(rhs64)
-    A_sym = DIAMatrix(vals=jnp.asarray(sym32), offsets=offsets, n_rows=n,
-                      lattice=lattice)
+    # symmetrized fine level computed ON DEVICE from the already-uploaded
+    # hi plane (the host symmetrized_f32 copy was a third ~D*N*4-byte
+    # upload through the tunnel — ~470 MB at the 48M problem); semantics
+    # identical to assembly/stencil64.py:symmetrized_f32
+    w_off = max(max(offsets), -min(offsets), 0)
+
+    @jax.jit
+    def _sym_dev(vals_hi, bcf):
+        ext = jnp.pad(bcf, (w_off, w_off), constant_values=0.0)
+        outs = []
+        for d, o in enumerate(offsets):
+            col_bc = jax.lax.slice_in_dim(ext, w_off + o, w_off + o + n)
+            if o == 0:
+                v = jnp.where(bcf > 0, 1.0, vals_hi[d])
+            else:
+                v = jnp.where((bcf > 0) | (col_bc > 0), 0.0, vals_hi[d])
+            outs.append(v)
+        return jnp.stack(outs)
+
+    bcf_dev = jnp.asarray(bc_mask, dtype=jnp.float32)
+    A_sym = DIAMatrix(vals=_sym_dev(vals_df.hi, bcf_dev),
+                      offsets=offsets, n_rows=n, lattice=lattice)
     element_fn = None  # fine level is pre-assembled; coarse tail re-derives
     from pfemfort_tpu.elements.poisson import poisson_element_matrices
     element_fn = lambda c: poisson_element_matrices(

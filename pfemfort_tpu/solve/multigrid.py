@@ -168,23 +168,68 @@ def _lattice_shape(structure: dict) -> Tuple[int, ...]:
     return (structure["ney"] + 1, structure["nex"] + 1)
 
 
+def _is_affine_box(mesh: Mesh) -> Optional[Tuple[Tuple[float, float], ...]]:
+    """Bounds per axis when the node coords ARE the separable affine
+    lattice (so they can be regenerated on device); None otherwise."""
+    s = mesh.structure
+    shape = (s["nez"] + 1, s["ney"] + 1, s["nex"] + 1)
+    c = mesh.coords.reshape(*shape, 3)
+    lo = mesh.coords.min(axis=0)
+    hi = mesh.coords.max(axis=0)
+    for ax, nn in ((0, shape[2]), (1, shape[1]), (2, shape[0])):
+        axis_dim = {0: 2, 1: 1, 2: 0}[ax]
+        want = np.linspace(lo[ax], hi[ax], c.shape[axis_dim])
+        sl = [0, 0, 0, ax]
+        sl[axis_dim] = slice(None)
+        if not np.allclose(c[tuple(sl)], want, atol=1e-12 + 1e-9 *
+                           max(abs(lo[ax]), abs(hi[ax]))):
+            return None
+        # separability: the coordinate must not vary along the other axes
+        var = c[..., ax]
+        red = tuple(d for d in range(3) if d != axis_dim)
+        if float(np.abs(var.max(axis=red) - var.min(axis=red)).max()) > 1e-9:
+            return None
+    return tuple((float(lo[a]), float(hi[a])) for a in range(3))
+
+
 def _assemble_level(mesh: Mesh, ndof: int, element_fn: Callable,
                     dtype, bc_mask: np.ndarray) -> DIAMatrix:
     """One jit-compiled call per level: element matrices -> structured
     slice-add assembly -> BC symmetrization.  (Eager per-op dispatch here
-    costs tens of seconds over a remote-device tunnel.)"""
+    costs tens of seconds over a remote-device tunnel.)
+
+    For affine box lattices the element-minor coords are generated ON
+    DEVICE (the host gather + transfer of the level-1 coords at the 48M
+    problem is ~290 MB through the remote tunnel — a large share of the
+    mg-setup time)."""
     from pfemfort_tpu.assembly import structured as st
     from pfemfort_tpu.elements.geometry import to_element_minor
 
     s = mesh.structure
-    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()), dtype=dtype)
     if s["kind"] == "box_tet":
         plan = st.build_structured_plan(s["nex"], s["ney"], s["nez"],
                                         ndof=ndof)
         assemble = st.assemble_dia_structured
+        bounds = _is_affine_box(mesh)
+        if bounds is not None:
+            from pfemfort_tpu.mesh import generate as gen
+
+            (x0, x1), (y0, y1), (z0, z1) = bounds
+
+            @jax.jit
+            def build_dev():
+                coords_em = gen.box_tet_coords_em_device(
+                    x0, x1, s["nex"], y0, y1, s["ney"],
+                    z0, z1, s["nez"], dtype=dtype)
+                Ke, _ = element_fn(coords_em)
+                return symmetrize_dirichlet(assemble(Ke, plan), bc_mask)
+
+            return build_dev()
     else:
         plan = st.build_structured_plan_2d(s["nex"], s["ney"], ndof=ndof)
         assemble = st.assemble_dia_structured_2d
+
+    coords_em = jnp.asarray(to_element_minor(mesh.elem_coords()), dtype=dtype)
 
     @jax.jit
     def build(coords_em):
