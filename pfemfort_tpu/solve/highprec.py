@@ -81,19 +81,56 @@ def solve_box_poisson_1e8(
     Returns (u_full (n_node,) f64, RefineStats, timings dict).
     """
     timings = {}
-    t0 = time.perf_counter()
-    offsets, vals64, rhs64 = stencil_full_system_f64(mesh, source=source)
-    bc_mask, bc_vals = lattice_bc_f64(mesh, dirichlet)
-    zero_rows_f64(offsets, vals64, rhs64, bc_mask, bc_vals)
-    timings["host_assemble_s"] = time.perf_counter() - t0
-
     st = mesh.structure
     lattice = (st["nez"] + 1, st["ney"] + 1, st["nex"] + 1)
-    n = vals64.shape[1]
+
+    from pfemfort_tpu.solve.multigrid import _is_affine_box
 
     t0 = time.perf_counter()
-    vals_df = df_from_f64(vals64)
-    b_df = df_from_f64(rhs64)
+    bc_mask, bc_vals = lattice_bc_f64(mesh, dirichlet)
+    use_device_stencil = _is_affine_box(mesh) is not None
+    if use_device_stencil:
+        # DF system built ON DEVICE (assembly/stencil64.py): no host f64
+        # build (~30 s at 48M) and no ~1 GB (hi, lo) upload
+        from pfemfort_tpu.assembly.stencil64 import (
+            stencil_full_system_df_device)
+
+        offsets, (vh, vl), (rh, rl) = stencil_full_system_df_device(
+            mesh, source=source)
+        n = vh.shape[1]
+        bcf_b = jnp.asarray(bc_mask)
+        bch = jnp.asarray(bc_vals.astype(np.float32))
+        bcl = jnp.asarray(
+            (bc_vals - bc_vals.astype(np.float32).astype(np.float64)
+             ).astype(np.float32))
+
+        @jax.jit
+        def _apply_bc(vh, vl, rh, rl, bcf_b, bch, bcl):
+            outs_h, outs_l = [], []
+            for d, o in enumerate(offsets):
+                tgt = jnp.float32(1.0 if o == 0 else 0.0)
+                outs_h.append(jnp.where(bcf_b, tgt, vh[d]))
+                outs_l.append(jnp.where(bcf_b, jnp.float32(0.0), vl[d]))
+            return (jnp.stack(outs_h), jnp.stack(outs_l),
+                    jnp.where(bcf_b, bch, rh), jnp.where(bcf_b, bcl, rl))
+
+        vh, vl, rh, rl = _apply_bc(vh, vl, rh, rl, bcf_b, bch, bcl)
+        vals_df = DF(vh, vl)
+        b_df = DF(rh, rl)
+        jax.block_until_ready(rh)
+        timings["host_assemble_s"] = time.perf_counter() - t0
+        rhs64 = None
+    else:
+        offsets, vals64, rhs64 = stencil_full_system_f64(mesh,
+                                                         source=source)
+        zero_rows_f64(offsets, vals64, rhs64, bc_mask, bc_vals)
+        n = vals64.shape[1]
+        timings["host_assemble_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if not use_device_stencil:
+        vals_df = df_from_f64(vals64)
+        b_df = df_from_f64(rhs64)
     # symmetrized fine level computed ON DEVICE from the already-uploaded
     # hi plane (the host symmetrized_f32 copy was a third ~D*N*4-byte
     # upload through the tunnel — ~470 MB at the 48M problem); semantics
@@ -133,7 +170,11 @@ def solve_box_poisson_1e8(
                           inner_rtol, inner_maxiter)
     _, resid_df, update = _df_jits(offsets, n, inner_rtol, inner_maxiter)
 
-    bnorm = float(np.linalg.norm(rhs64))
+    if rhs64 is not None:
+        bnorm = float(np.linalg.norm(rhs64))
+    else:
+        # hi-plane f32 norm: 1e-7 relative, used only to normalize relres
+        bnorm = float(jnp.linalg.norm(b_df.hi))
     if bnorm == 0.0:
         return np.zeros(n), RefineStats(0, 0, 0.0, True), timings
 

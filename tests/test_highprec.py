@@ -77,3 +77,24 @@ def test_solve_1e8_uneven_box():
     assert stats.converged, stats
     u_exact = (mesh.coords ** 2).sum(axis=1)
     assert np.abs(u - u_exact).max() < 1e-6
+
+
+def test_device_df_stencil_matches_host_f64():
+    """The device double-float slice-add build (stencil_full_system_df_
+    device) must reproduce the exact host-f64 system to DF accuracy."""
+    import numpy as np
+
+    from pfemfort_tpu.assembly.stencil64 import (
+        stencil_full_system_df_device, stencil_full_system_f64)
+    from pfemfort_tpu.mesh import generate
+
+    mesh, _ = generate.box_tet(0, 1, 6, 0, 1, 5, 0, 1, 7)
+    offs_h, vals64, rhs64 = stencil_full_system_f64(mesh)
+    offs_d, (vh, vl), (rh, rl) = stencil_full_system_df_device(mesh)
+    assert offs_h == offs_d
+    v_dev = np.asarray(vh, np.float64) + np.asarray(vl, np.float64)
+    r_dev = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    scale = np.abs(vals64).max()
+    assert np.abs(v_dev - vals64).max() < 1e-12 * scale
+    rscale = max(np.abs(rhs64).max(), 1e-30)
+    assert np.abs(r_dev - rhs64).max() < 1e-12 * rscale
