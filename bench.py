@@ -90,6 +90,11 @@ def _san(obj):
     return obj
 
 
+def _f(x):
+    """float() that passes None through (invalid-timing markers)."""
+    return None if x is None else float(x)
+
+
 def _flush_partial(detail: dict, stage: str):
     """Record finished-stage evidence NOW: a cumulative partial file in the
     repo plus a compact per-stage line on stderr (the driver records the
@@ -148,6 +153,22 @@ def _roundtrip() -> float:
     return _RT
 
 
+def _best_timing(run, rt: float, reps: int, samples: int = 3):
+    """Best per-rep seconds over `samples` chained runs.  Readings where the
+    roundtrip estimate exceeds the measured elapsed are DISCARDED — clamping
+    a negative delta to epsilon would publish an absurd throughput in the
+    artifact (ADVICE r4).  Returns None when every sample is invalid; the
+    caller records a `timing_invalid` flag instead of a number."""
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        run()
+        meas = (time.perf_counter() - t0 - rt) / reps
+        if meas > 0:
+            best = min(best, meas)
+    return best if np.isfinite(best) else None
+
+
 def flagship(n: int, detail: dict):
     import jax
     import jax.numpy as jnp
@@ -200,12 +221,10 @@ def flagship(n: int, detail: dict):
         t0 = time.perf_counter()
         _sync(chain(coords_e, *extra))
         _log(f"{label} compile+run {time.perf_counter()-t0:.1f}s")
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _sync(chain(coords_e, *extra))
-            best = max(min(best, (time.perf_counter() - t0 - rt) / reps),
-                       1e-9)
+        best = _best_timing(lambda: _sync(chain(coords_e, *extra)), rt, reps)
+        if best is None:
+            _log(f"{label} timing invalid (roundtrip > elapsed)")
+            return None
         eps = mesh.n_elem / best
         _log(f"{label} {best*1e3:.0f}ms -> {eps/1e6:.1f}M elems/s")
         return eps
@@ -256,12 +275,10 @@ def flagship(n: int, detail: dict):
         t0 = time.perf_counter()
         _sync(chain(vals_arg, x))
         _log(f"{label} compile {time.perf_counter()-t0:.1f}s")
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _sync(chain(vals_arg, x))
-            best = max(min(best, (time.perf_counter() - t0 - rt) / iters),
-                   1e-9)
+        best = _best_timing(lambda: _sync(chain(vals_arg, x)), rt, iters)
+        if best is None:
+            _log(f"{label} timing invalid (roundtrip > elapsed)")
+            return float("inf"), 0.0
         gbps = spmv_bytes / best / 1e9
         _log(f"{label}: {best*1e6:.0f}us, {gbps:.0f} GB/s "
              f"({100*gbps/peak:.0f}% of {peak:.0f} peak), "
@@ -363,8 +380,8 @@ def flagship(n: int, detail: dict):
         "nnz": nnz,
         "dia_offsets": D,
         "host_setup_s": float(t_host),
-        "structured_assembly_elems_per_s": float(elems_per_s),
-        "general_assembly_elems_per_s": float(general_elems_per_s),
+        "structured_assembly_elems_per_s": _f(elems_per_s),
+        "general_assembly_elems_per_s": _f(general_elems_per_s),
         "spmv_s": float(t_spmv),
         "spmv_gbps": float(spmv_bytes / t_spmv / 1e9),
         "spmv_pct_peak": float(100 * spmv_bytes / t_spmv / 1e9 / peak),
@@ -620,15 +637,12 @@ def unstructured_stage(n: int, detail: dict):
     t0 = time.perf_counter()
     _sync(chain_asm(coords_e, pat_dev, ubc_e))
     _log(f"[unstr] assembly compile+run {time.perf_counter()-t0:.1f}s")
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync(chain_asm(coords_e, pat_dev, ubc_e))
-        best = max(min(best, (time.perf_counter() - t0 - rt) / reps),
-                       1e-9)
-    eps = mesh.n_elem / best
-    _log(f"[unstr] scatter assembly {best*1e3:.0f}ms -> {eps/1e6:.1f}M "
-         f"elems/s")
+    best = _best_timing(lambda: _sync(chain_asm(coords_e, pat_dev, ubc_e)),
+                        rt, reps)
+    eps = mesh.n_elem / best if best else None
+    if eps is not None:
+        _log(f"[unstr] scatter assembly {best*1e3:.0f}ms -> {eps/1e6:.1f}M "
+             f"elems/s")
 
     # naive gather-ELL SpMV (the XLA scalar-unit baseline)
     x = jnp.ones((N,), dtype=dtype)
@@ -643,12 +657,8 @@ def unstructured_stage(n: int, detail: dict):
     t0 = time.perf_counter()
     _sync(chain_spmv(A, x))
     _log(f"[unstr] xla ell spmv compile {time.perf_counter()-t0:.1f}s")
-    best_xla = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _sync(chain_spmv(A, x))
-        best_xla = max(min(best_xla,
-                           (time.perf_counter() - t0 - rt) / iters), 1e-9)
+    best_xla = _best_timing(lambda: _sync(chain_spmv(A, x)), rt, iters,
+                            samples=2) or float("inf")
     xla_gbps = ell_bytes / best_xla / 1e9
     _log(f"[unstr] xla ell spmv {best_xla*1e6:.0f}us, model {xla_gbps:.0f} "
          f"GB/s ({100*xla_gbps/peak:.0f}% peak), "
@@ -663,7 +673,7 @@ def unstructured_stage(n: int, detail: dict):
         "ell_k": int(K),
         "nnz": int(nnz),
         "host_setup_s": float(t_host),
-        "assembly_elems_per_s": float(eps),
+        "assembly_elems_per_s": _f(eps),
         "spmv_ell_xla_gbps": float(xla_gbps),
     })
 
@@ -696,12 +706,8 @@ def unstructured_stage(n: int, detail: dict):
         t0 = time.perf_counter()
         _sync(chain_sg(P, A.vals, x))
         _log(f"[unstr] sg spmv compile {time.perf_counter()-t0:.1f}s")
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _sync(chain_sg(P, A.vals, x))
-            best = max(min(best, (time.perf_counter() - t0 - rt) / sg_iters),
-                   1e-9)
+        best = _best_timing(lambda: _sync(chain_sg(P, A.vals, x)),
+                            rt, sg_iters) or float("inf")
         ell_gbps = ell_bytes / best / 1e9
         _log(f"[unstr] sg spmv {best*1e6:.0f}us, model {ell_gbps:.0f} GB/s "
              f"({100*ell_gbps/peak:.0f}% peak), {nnz/best/1e9:.2f} Gnnz/s, "
@@ -755,6 +761,54 @@ def unstructured_stage(n: int, detail: dict):
                      res.timings.get("structure_recovered", False)))
 
 
+def partition_quality_stage(detail: dict):
+    """Partition-quality evidence (the reference prints METIS's objval,
+    meshpartitioncpp.cpp:339): dual-graph edge cut of RCB vs greedy vs a
+    random balanced partition on a genuinely unstructured Delaunay tet
+    mesh.  Host-only; edge cut is the ghost-volume/ICI-traffic proxy."""
+    from scipy.spatial import Delaunay
+
+    from pfemfort_tpu import native
+    from pfemfort_tpu.mesh.core import Mesh
+    from pfemfort_tpu.parallel.partition import partition_elements
+
+    if not native.available():
+        detail["partition_quality"] = {"skipped": "native lib unavailable"}
+        return
+    rng = np.random.default_rng(11)
+    n = 24
+    g = np.linspace(0, 1, n + 1)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    interior = ((pts > 1e-9) & (pts < 1 - 1e-9)).all(axis=1)
+    pts[interior] += rng.uniform(-0.25, 0.25, (int(interior.sum()), 3)) / n
+    tri = Delaunay(pts)
+    conn = tri.simplices.astype(np.int64)
+    a, b, c, d = (pts[conn[:, i]] for i in range(4))
+    vol6 = np.einsum("ij,ij->i", np.cross(b - a, c - a), d - a)
+    conn[vol6 < 0] = conn[vol6 < 0][:, [0, 2, 1, 3]]
+    conn = conn[np.abs(vol6) > 1e-12]
+    mesh = Mesh("tetra4", pts, conn.astype(np.int32))
+    S = 8
+    res = {"n_elem": int(mesh.n_elem), "n_parts": S}
+    for method in ("rcb", "greedy"):
+        t0 = time.perf_counter()
+        part = partition_elements(mesh, S, method=method)
+        res[f"{method}_partition_s"] = time.perf_counter() - t0
+        res[f"{method}_edge_cut"] = native.edge_cut(
+            mesh.conn, mesh.n_node, 3, part)
+    rand = rng.permutation(np.arange(mesh.n_elem) % S).astype(np.int32)
+    res["random_edge_cut"] = native.edge_cut(mesh.conn, mesh.n_node, 3,
+                                             rand)
+    res["rcb_vs_random"] = res["rcb_edge_cut"] / res["random_edge_cut"]
+    res["greedy_vs_random"] = (res["greedy_edge_cut"]
+                               / res["random_edge_cut"])
+    detail["partition_quality"] = res
+    _log(f"[part] E={mesh.n_elem}: edge cut rcb {res['rcb_edge_cut']} "
+         f"({100*res['rcb_vs_random']:.0f}% of random), greedy "
+         f"{res['greedy_edge_cut']} ({100*res['greedy_vs_random']:.0f}%)")
+
+
 def dist_spmv_stage(n: int, detail: dict):
     """Single-chip microbench of the SHARD-LOCAL distributed SpMV (the
     operator every shard runs inside the distributed CG): the lattice-
@@ -793,6 +847,14 @@ def dist_spmv_stage(n: int, detail: dict):
 
     results = detail.setdefault("dist_spmv", {})
     results["n_dof"] = int(N)
+    # The published numbers are MODEL bandwidths: measured time divided into
+    # (D+2)*N*4 modeled bytes (vals stream + one x read + one y write).  The
+    # kernel's real traffic additionally includes the per-chunk x-window
+    # duplication (~2N), and ~70us kernels carry +-ms tunnel jitter, so a
+    # model number a few % above peak is a measurement artifact, not physics
+    # (VERDICT r4 weak #6) — such readings are flagged `model_exceeds_peak`.
+    results["traffic_model"] = (
+        f"(D+2)*N*4 = {spmv_bytes} B/SpMV; median of delta-timed samples")
     plan = lattice_halo_plan(A.offsets, lat) if lat else None
     from pfemfort_tpu.parallel.halo import halo_width, spmv_dia_halo_pallas
     from pfemfort_tpu.sparse.dia import DIAMatrix
@@ -840,7 +902,7 @@ def dist_spmv_stage(n: int, detail: dict):
         t0 = time.perf_counter()
         _sync(chain(A.vals, x, kl))
         _log(f"[dist] {name} compile {time.perf_counter()-t0:.1f}s")
-        best = float("inf")
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             _sync(chain(A.vals, x, kl))
@@ -848,12 +910,22 @@ def dist_spmv_stage(n: int, detail: dict):
             t0 = time.perf_counter()
             _sync(chain(A.vals, x, ks))
             t_short = time.perf_counter() - t0
-            best = max(min(best, (t_long - t_short) / (iters - short)),
-                       1e-9)
+            d = (t_long - t_short) / (iters - short)
+            if d > 0:
+                samples.append(d)
+        if not samples:
+            results[f"shard_spmv_{name}_timing_invalid"] = True
+            continue
+        # median, not min: min-of-3 at ~70us/iter systematically picks the
+        # luckiest tunnel-jitter draw and published >100%-of-peak numbers
+        best = float(np.median(samples))
         gbps = spmv_bytes / best / 1e9
-        results[f"shard_spmv_{name}_gbps"] = float(gbps)
+        results[f"shard_spmv_{name}_us"] = float(best * 1e6)
+        results[f"shard_spmv_{name}_gbps_model"] = float(gbps)
+        if gbps > peak:
+            results[f"shard_spmv_{name}_model_exceeds_peak"] = True
         _log(f"[dist] shard-local {name} spmv: {best*1e6:.0f}us, "
-             f"{gbps:.0f} GB/s ({100*gbps/peak:.0f}% peak)")
+             f"model {gbps:.0f} GB/s ({100*gbps/peak:.0f}% peak)")
 
     # shard-local UNSTRUCTURED operator: slot-gather over the ghost-
     # extended local vector (parallel/dist_ell.py:spmv_ell_halo_sg)
@@ -902,7 +974,7 @@ def dist_spmv_stage(n: int, detail: dict):
         t0 = time.perf_counter()
         _sync(chain_u(vals_u, xu, kl, *sg_l0))
         _log(f"[dist] ell-sg compile {time.perf_counter()-t0:.1f}s")
-        best = float("inf")
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             _sync(chain_u(vals_u, xu, kl, *sg_l0))
@@ -910,12 +982,18 @@ def dist_spmv_stage(n: int, detail: dict):
             t0 = time.perf_counter()
             _sync(chain_u(vals_u, xu, ks, *sg_l0))
             t_short = time.perf_counter() - t0
-            best = max(min(best, (t_long - t_short) / (iters - short)),
-                       1e-9)
-        gbps = ubytes / best / 1e9
-        results["shard_spmv_ell_sg_gbps"] = float(gbps)
-        _log(f"[dist] shard-local ell-sg spmv: {best*1e6:.0f}us, "
-             f"{gbps:.0f} GB/s ({100*gbps/peak:.0f}% peak)")
+            d = (t_long - t_short) / (iters - short)
+            if d > 0:
+                samples.append(d)
+        if samples:
+            best = float(np.median(samples))
+            gbps = ubytes / best / 1e9
+            results["shard_spmv_ell_sg_us"] = float(best * 1e6)
+            results["shard_spmv_ell_sg_gbps_model"] = float(gbps)
+            _log(f"[dist] shard-local ell-sg spmv: {best*1e6:.0f}us, "
+                 f"model {gbps:.0f} GB/s ({100*gbps/peak:.0f}% peak)")
+        else:
+            results["shard_spmv_ell_sg_timing_invalid"] = True
     except Exception as ex:
         _log(f"[dist] ell-sg stage skipped: {type(ex).__name__}: "
              f"{str(ex)[:200]}")
@@ -972,6 +1050,8 @@ def main():
     # stage order: cheapest evidence first after the flagship, the 48M +
     # 1e-8 headline before the compile-heavy unstructured tail
     stages = [
+        ("partition_quality", 40.0,
+         lambda: partition_quality_stage(detail)),
         ("dist_spmv", 100.0, lambda: dist_spmv_stage(n, detail)),
         ("large", 320.0, lambda: large_stage(n_large, detail)),
         ("unstructured", 220.0, lambda: unstructured_stage(max(n, 16),
@@ -1002,14 +1082,55 @@ def main():
         if nnz_per_s:
             detail["headline_source"] = "large.cg_nnz_per_s (flagship stage failed)"
     detail["total_wall_s"] = time.perf_counter() - _T0
+
+    # Full detail to a FILE; the stdout line stays SHORT so the driver's
+    # tail capture can parse it (VERDICT r4 weak #5: the all-in-one line
+    # was truncated from the head and `parsed` came back null).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(_san(detail), f, default=float, indent=1)
+    except Exception as ex:
+        _log(f"could not write {detail_path}: {ex}")
+
+    def _stage_ok(name):
+        d = detail.get(name)
+        if not isinstance(d, dict):
+            return False
+        return "error" not in d and "skipped" not in d
+
+    def _pick(*path):
+        d = detail
+        for k in path:
+            if not isinstance(d, dict) or k not in d:
+                return None
+            d = d[k]
+        return _san(d) if isinstance(d, (int, float)) else d
+
+    summary = {
+        "spmv_pallas_gbps": _pick("spmv_pallas_gbps"),
+        "large_refined_relres": _pick("large", "refined_relres"),
+        "large_refined_total_s": _pick("large", "refined_total_s"),
+        "large_assembly_s": _pick("large", "assembly_s"),
+        "unstructured_spmv_gbps": _pick("unstructured", "spmv_ell_gbps"),
+        "amg_vs_jacobi_speedup": _pick("amg", "speedup_vs_jacobi"),
+        "total_wall_s": round(detail["total_wall_s"], 1),
+    }
     result = {
         "metric": "spmv_nnz_per_s",
         "value": float(nnz_per_s),
         "unit": "nnz/s",
         "vs_baseline": float(nnz_per_s / BASELINE_NNZ_PER_S),
-        "detail": _san(detail),
+        "stages": {s: _stage_ok(s) for s in
+                   ("flagship", "partition_quality", "dist_spmv", "large",
+                    "unstructured", "amg", "large_unstructured")
+                   if s in detail or s == "flagship"},
+        "summary": {k: v for k, v in summary.items() if v is not None},
+        "detail_file": "BENCH_DETAIL.json",
     }
-    print(json.dumps(result))
+    result["stages"]["flagship"] = "flagship_error" not in detail
+    print(json.dumps(_san(result), default=float))
 
 
 if __name__ == "__main__":

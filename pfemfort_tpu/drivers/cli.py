@@ -68,7 +68,7 @@ def _solver_opts(args):
         from pfemfort_tpu.config import SolverOptions
         o = SolverOptions.from_options_file(args.options_file)
         args.rtol = o.rtol
-        if o.ksp_type in ("cg", "bicgstab"):
+        if o.ksp_type in ("cg", "bicgstab", "gmres"):
             args.ksp = o.ksp_type
         if hasattr(args, "precond") and o.pc_type != "jacobi":
             # -pc_type ilu/icc -> ic0, -pc_type hypre/gamg -> mg (config.py
@@ -94,7 +94,8 @@ def cmd_poisson(args):
         res = solve_implicit_sharded(
             mesh, 1, dbc,
             lambda c: poisson_element_matrices(c, mesh.etype, source=src),
-            n_shards=args.shards, rtol=args.rtol, precond=args.precond)
+            n_shards=args.shards, rtol=args.rtol, precond=args.precond,
+            method=args.ksp)
     else:
         res = solve_poisson(mesh, dbc, rtol=args.rtol, method=args.ksp,
                             source=args.source, bc_mode=args.bc_mode,
@@ -128,7 +129,7 @@ def cmd_elasticity(args):
             mesh, mesh.ndim, dbc,
             lambda c: elasticity_stiffness(c, mesh.etype, D),
             n_shards=args.shards, force_bc=fbc, rtol=args.rtol,
-            precond=args.precond)
+            precond=args.precond, method=args.ksp)
     else:
         res = solve_elasticity(
             mesh, dbc, args.E, args.nu, force_bc=fbc,

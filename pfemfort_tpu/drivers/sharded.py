@@ -186,7 +186,16 @@ def solve_implicit_sharded(
     partition_method: str = "slab",
     precond: str = "jacobi",
     recover: bool = True,
+    method: str = "cg",
 ) -> ImplicitResult:
+    """Multi-device implicit solve (module docstring has the architecture).
+
+    `method`: 'cg' | 'bicgstab' | 'gmres' — the distributed Krylov menu,
+    matching the reference's options-file -ksp_type switch over its MPI
+    solve (/root/reference/src/solverpetsc.F:198); every solver runs the
+    same shard_map body with psum reductions (parallel/shard_cg.py).
+    precond='mg'/'amg'/'ic0' apply only inside CG (SPD cycles); with
+    another method they fall back like the non-ELL layouts do."""
     if dtype is None:
         dtype = jnp.zeros(0).dtype
     if device_mesh is None:
@@ -210,7 +219,7 @@ def solve_implicit_sharded(
                 mesh2, ndof, dbc2, element_fn, device_mesh=device_mesh,
                 force_bc=fbc2, dtype=dtype, rtol=rtol, maxiter=maxiter,
                 partition_method=partition_method, precond=precond,
-                recover=False)
+                recover=False, method=method)
             u_full = res.u_full.reshape(mesh.n_node, ndof)[perm].reshape(-1)
             return ImplicitResult(
                 u_full=u_full,
@@ -273,7 +282,7 @@ def solve_implicit_sharded(
             device_mesh, setup.offsets, vals_s, b_s,
             rtol=rtol, maxiter=maxiter, ndof_block=(
                 ndof if precond == "bjacobi" else 1),
-            lattice=sys_.pattern.dia_lattice)
+            lattice=sys_.pattern.dia_lattice, method=method)
         x = jax.block_until_ready(x)
         t_solve = time.perf_counter() - t1
     elif esetup is not None:
@@ -297,8 +306,9 @@ def solve_implicit_sharded(
         # Real-TPU in-shard SpMV: slot-gather Pallas kernel over the
         # ghost-extended local vector (the XLA gather runs on the scalar
         # core); None when the within-shard locality is too poor
+        from pfemfort_tpu.sparse.ops import pallas_enabled
         sg = None
-        if (jax.default_backend() == "tpu"
+        if (pallas_enabled()
                 and dtype == jnp.float32
                 and Prow + S * wx + 1 <= (1 << 21)):
             from pfemfort_tpu.parallel.dist_ell import (
@@ -347,7 +357,7 @@ def solve_implicit_sharded(
             device_mesh, cols_s, vals_s, b_s, sr_s, wx,
             rtol=rtol, maxiter=maxiter, sg=sg,
             ndof_block=(ndof if precond == "bjacobi" else 1),
-            ic0_blocks=ic0_blocks, amg=amg)
+            ic0_blocks=ic0_blocks, amg=amg, method=method)
         x = jax.block_until_ready(x)
         t_solve = time.perf_counter() - t1
     else:

@@ -291,13 +291,13 @@ def fine_spmv_factory(setup: DistMGSetup, vals_l, axis: str) -> Callable:
     OUTSIDE the CG loop — the Pallas value-stream pad runs once per trace."""
     offsets, w = setup.offsets, setup.w
     Prow = setup.rows_per_shard
-    use_pallas = False
-    try:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and vals_l.dtype == jnp.float32
-                      and Prow >= 1 << 14)
-    except Exception:
-        pass
+    from pfemfort_tpu.sparse.ops import pallas_enabled
+
+    # PFEMFORT_NO_PALLAS=1 falls back to the XLA stencil forms everywhere
+    # (ADVICE r4: this path is only exercised on-chip — tools/tpu_smoke's
+    # dist_mg stage — so debugging needs the portable escape hatch)
+    use_pallas = (pallas_enabled() and vals_l.dtype == jnp.float32
+                  and Prow >= 1 << 14)
     if use_pallas:
         from pfemfort_tpu.parallel.halo import spmv_dia_halo_pallas
         from pfemfort_tpu.sparse.dia import DIAMatrix

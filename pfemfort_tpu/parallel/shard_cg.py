@@ -26,7 +26,32 @@ from pfemfort_tpu.parallel.halo import (
     spmv_dia_halo,
     spmv_dia_halo_lattice,
 )
-from pfemfort_tpu.solve.cg import cg_solve, jacobi_preconditioner
+from pfemfort_tpu.solve.cg import (
+    bicgstab_solve,
+    cg_solve,
+    jacobi_preconditioner,
+)
+
+
+def _krylov_body(method: str):
+    """Uniform (operator, b_l, precond, rtol, maxiter, dot, dot2) -> (x_l,
+    stats) over the Krylov menu — the distributed analog of the reference's
+    options-file -ksp_type switch (/root/reference/src/solverpetsc.F:198):
+    every solver in solve/cg.py + solve/gmres.py takes an injectable `dot`,
+    so the SAME body runs inside shard_map with psum reductions."""
+    if method == "cg":
+        return lambda op, b, pc, rtol, maxiter, dot, dot2: cg_solve(
+            op, b, precond=pc, rtol=rtol, maxiter=maxiter,
+            dot=dot, dot2=dot2)
+    if method == "bicgstab":
+        return lambda op, b, pc, rtol, maxiter, dot, dot2: bicgstab_solve(
+            op, b, precond=pc, rtol=rtol, maxiter=maxiter, dot=dot)
+    if method == "gmres":
+        from pfemfort_tpu.solve.gmres import gmres_solve
+
+        return lambda op, b, pc, rtol, maxiter, dot, dot2: gmres_solve(
+            op, b, precond=pc, rtol=rtol, maxiter=maxiter, dot=dot)
+    raise ValueError(f"unknown ksp method {method!r}")
 
 
 def _inv_small_blocks(B: jax.Array) -> jax.Array:
@@ -135,12 +160,14 @@ def distributed_cg_solve(
     rtol: float = 1e-8,
     maxiter: int = 10_000,
     axis: str = "shard",
+    method: str = "cg",
 ):
     """Run Jacobi-preconditioned CG with rows sharded over `axis`.
 
     Returns (x (n_rows_padded,), SolveStats) with x fully replicated.
     """
     n_rows = cols.shape[0]
+    krylov = _krylov_body(method)
 
     def local_diag(cols_l, vals_l, row0):
         rows = row0 + jnp.arange(cols_l.shape[0], dtype=cols_l.dtype)[:, None]
@@ -170,10 +197,8 @@ def distributed_cg_solve(
             return pair[0], pair[1]
 
         diag = local_diag(cols_l, vals_l, row0)
-        x_l, stats = cg_solve(
-            operator, b_l,
-            precond=jacobi_preconditioner(diag),
-            rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
+        x_l, stats = krylov(operator, b_l, jacobi_preconditioner(diag),
+                            rtol, maxiter, dot, dot2)
         # replicate the solution (the reference's VecScatterCreateToAll,
         # triapoissonparallelimpl1.F:938-943) so multi-PROCESS callers can
         # read it without cross-host gathers on the host side
@@ -203,6 +228,7 @@ def distributed_cg_solve_ell(
     ndof_block: int = 1,
     ic0_blocks=None,
     amg=None,
+    method: str = "cg",
 ):
     """Jacobi-CG over the unstructured per-shard ELL with the pairwise
     ghost exchange (parallel/dist_ell.py:spmv_ell_halo): per-iteration comm
@@ -233,6 +259,7 @@ def distributed_cg_solve_ell(
     n_rows = cols_local.shape[0]
     n_shards = device_mesh.devices.size
     P_ = n_rows // n_shards
+    krylov = _krylov_body(method)
     sg_arrays = ()
     sg_dims = None
     if sg is not None:
@@ -310,10 +337,8 @@ def distributed_cg_solve_ell(
                                                       ndof_block)
         else:
             precond = jacobi_preconditioner(local_diag())
-        x_l, stats = cg_solve(
-            operator, b_l,
-            precond=precond,
-            rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
+        x_l, stats = krylov(operator, b_l, precond, rtol, maxiter,
+                            dot, dot2)
         return jax.lax.all_gather(x_l, axis, tiled=True), stats
 
     amg_args = amg_sharded + ((amg_repl,) if amg_repl is not None else ())
@@ -345,6 +370,7 @@ def distributed_cg_solve_dia(
     axis: str = "shard",
     ndof_block: int = 1,
     lattice=None,
+    method: str = "cg",
 ):
     """CG with the halo-exchange DIA SpMV: per-iteration comm is two
     ppermute shifts of the halo width W = max|offset| (plus psum dots)
@@ -364,6 +390,7 @@ def distributed_cg_solve_dia(
     n_rows = b.shape[0]
     n_shards = device_mesh.devices.size
     rows_per_shard = n_rows // n_shards
+    krylov = _krylov_body(method)
     w = halo_width(offsets)
     use_halo = w <= rows_per_shard
     plan = None
@@ -378,13 +405,11 @@ def distributed_cg_solve_dia(
     except ValueError:
         d0 = None
 
-    use_pallas = False
-    try:
-        use_pallas = (use_halo and jax.default_backend() == "tpu"
-                      and dia_vals.dtype == jnp.float32
-                      and rows_per_shard >= 1 << 14)
-    except Exception:
-        pass
+    from pfemfort_tpu.sparse.ops import pallas_enabled
+
+    use_pallas = (use_halo and pallas_enabled()
+                  and dia_vals.dtype == jnp.float32
+                  and rows_per_shard >= 1 << 14)
 
     def body(vals_l, b_l):
         if use_pallas:
@@ -437,10 +462,8 @@ def distributed_cg_solve_dia(
         else:
             diag = vals_l[d0] if d0 is not None else jnp.zeros_like(b_l)
             precond = jacobi_preconditioner(diag)
-        x_l, stats = cg_solve(
-            operator, b_l,
-            precond=precond,
-            rtol=rtol, maxiter=maxiter, dot=dot, dot2=dot2)
+        x_l, stats = krylov(operator, b_l, precond, rtol, maxiter,
+                            dot, dot2)
         # replicate the solution (VecScatterCreateToAll analog) for
         # multi-process-safe host readback
         return jax.lax.all_gather(x_l, axis, tiled=True), stats

@@ -433,7 +433,8 @@ def build_dist_samg(indptr, indices, vals, n_rows_padded: int,
                     coords_rows: Optional[np.ndarray] = None,
                     comp_rows: Optional[np.ndarray] = None,
                     dtype=jnp.float32, **kw
-                    ) -> Optional[Tuple[DistSAMG, SAMGMeta]]:
+                    ) -> Optional[Tuple[DistSAMG,
+                                        Tuple[SAMGMeta, SAMGMeta]]]:
     """Build the global SA hierarchy from the shard-ordered padded system
     (zero padding rows aggregate to singletons and never couple) and split
     the fine prolongator by shard-row ownership.  The shard layout is

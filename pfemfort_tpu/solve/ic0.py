@@ -139,13 +139,26 @@ def build_ic0(A, pattern=None, lane_pad: int = 8) -> Optional[IC0Arrays]:
     try:
         from pfemfort_tpu import native
 
+        native.ensure_built()
         fixups = native.ic0(lp, li, lv)
     except Exception:
         fixups = None
     if fixups is None:
         if n > _PY_FALLBACK_MAX_N:
             return None
-        _ic0_python(lp, li.astype(np.int64), lv)
+        if n > 20_000:
+            # the row-by-row two-pointer loop is ~O(nnz * row_nnz) python;
+            # say so instead of burning silent host minutes (ADVICE r4)
+            import sys
+            import time as _time
+
+            t0 = _time.perf_counter()
+            _ic0_python(lp, li.astype(np.int64), lv)
+            print(f"[ic0] python fallback factorization (native builder "
+                  f"unavailable): n={n}, {_time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+        else:
+            _ic0_python(lp, li.astype(np.int64), lv)
 
     # L = D (I + T): T[i, j] = L[i, j] / L[i, i] for j < i
     diag = lv[lp[1:] - 1]                       # diag is last in each row

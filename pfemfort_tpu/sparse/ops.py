@@ -14,16 +14,27 @@ from pfemfort_tpu.sparse.spmv import extract_diagonal, spmv_ell
 Matrix = Union[DIAMatrix, ELLMatrix]
 
 
+def pallas_enabled() -> bool:
+    """Global Pallas routing gate: real TPU backend AND the debug escape
+    hatch PFEMFORT_NO_PALLAS is unset (ADVICE r4: the Pallas-in-shard_map
+    paths cannot be exercised by CPU CI, so on-chip debugging needs a way
+    to force the portable XLA forms everywhere)."""
+    import os
+
+    if os.environ.get("PFEMFORT_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _use_pallas(A: DIAMatrix) -> bool:
     """Route the DIA SpMV through the Pallas kernel on real TPU backends
     (2.5x+ the XLA stencil's bandwidth; sparse/pallas_spmv.py).  CPU (tests)
     and other backends keep the portable XLA path."""
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
-        return False
-    return A.vals.dtype == jnp.float32 and A.n_rows >= 1 << 14
+    return (pallas_enabled() and A.vals.dtype == jnp.float32
+            and A.n_rows >= 1 << 14)
 
 
 def dia_operator(A: DIAMatrix) -> Callable:

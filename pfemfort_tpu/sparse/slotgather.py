@@ -125,6 +125,37 @@ def build_best_plan(pattern, coords_rows: Optional[np.ndarray] = None,
     return min(plans, key=lambda p: (p.V, p.G))
 
 
+def permuted_sorted_cols(ell_cols: np.ndarray, n_rows: int,
+                         order: Optional[np.ndarray], n_cols: int):
+    """Shared front half of the plan builders: apply the row ordering to
+    rows AND columns, sort slots ascending per row (sentinels last), and
+    track each slot's flat source index into the UN-permuted (N, K) value
+    array.  Returns (cols (N, K) int64, src_of_slot (N, K) int64, inv)."""
+    N, K = ell_cols.shape
+    cols = ell_cols.astype(np.int64)
+    inv = None
+    if order is not None:
+        if n_cols != n_rows:
+            raise ValueError("order requires a square system")
+        inv = np.empty(N, np.int64)
+        inv[order] = np.arange(N)
+        sent = cols >= n_rows
+        cols = np.where(sent, 2 * n_rows + LANES,
+                        inv[np.clip(cols, 0, N - 1)])
+        cols = cols[order]
+        slot_order = np.argsort(cols, axis=1, kind="stable")
+        cols = np.take_along_axis(cols, slot_order, axis=1)
+        src_of_slot = (order[:, None] * K + slot_order)
+    else:
+        # sort slots per row (ghost-extended local ids are not ascending);
+        # the (row, 128-block) grouping below needs same-block runs
+        slot_order = np.argsort(cols, axis=1, kind="stable")
+        cols = np.take_along_axis(cols, slot_order, axis=1)
+        src_of_slot = (np.arange(N, dtype=np.int64)[:, None] * K
+                       + slot_order)
+    return cols, src_of_slot, inv
+
+
 def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
                           order: Optional[np.ndarray] = None,
                           sub: int = 32,
@@ -147,27 +178,8 @@ def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
     N, K = ell_cols.shape
     if n_cols is None:
         n_cols = n_rows
-    cols = ell_cols.astype(np.int64)
-    inv = None
-    if order is not None:
-        if n_cols != n_rows:
-            raise ValueError("order requires a square system")
-        inv = np.empty(N, np.int64)
-        inv[order] = np.arange(N)
-        sent = cols >= n_rows
-        cols = np.where(sent, 2 * n_rows + LANES,
-                        inv[np.clip(cols, 0, N - 1)])
-        cols = cols[order]
-        slot_order = np.argsort(cols, axis=1, kind="stable")
-        cols = np.take_along_axis(cols, slot_order, axis=1)
-        src_of_slot = (order[:, None] * K + slot_order)
-    else:
-        # sort slots per row (ghost-extended local ids are not ascending);
-        # the (row, 128-block) grouping below needs same-block runs
-        slot_order = np.argsort(cols, axis=1, kind="stable")
-        cols = np.take_along_axis(cols, slot_order, axis=1)
-        src_of_slot = (np.arange(N, dtype=np.int64)[:, None] * K
-                       + slot_order)
+    cols, src_of_slot, inv = permuted_sorted_cols(ell_cols, n_rows, order,
+                                                  n_cols)
 
     # native (C++) per-tile builder when available — the numpy chain of
     # global sorts/cumsums below costs ~15 s at the 13M-nonzero flagship
@@ -484,9 +496,6 @@ def pad_plan(plan: SlotGatherPlan, T: int, V: int,
 
 def slotgather_supported(n_rows: int, max_rows: int = 1 << 21) -> bool:
     """Gate: real TPU backend and x fits VMEM-resident (f32)."""
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
-        return False
-    return n_rows <= max_rows
+    from pfemfort_tpu.sparse.ops import pallas_enabled
+
+    return pallas_enabled() and n_rows <= max_rows

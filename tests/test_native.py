@@ -138,3 +138,50 @@ def test_native_sg_plan_matches_numpy():
     compare(band, N)
     rect = np.sort(rng.integers(0, 2400, (N, 8)), axis=1).astype(np.int64)
     compare(rect, N, n_cols=2400, sub=8)
+
+
+def test_partition_quality_edge_cut_delaunay():
+    """Partition-quality regression (the reference reports METIS objval,
+    meshpartitioncpp.cpp:339): on a genuinely unstructured Delaunay mesh
+    both RCB and greedy must cut FAR fewer dual-graph edges than a random
+    balanced partition — edge cut drives ghost volume and therefore ICI
+    traffic in every distributed solve."""
+    from scipy.spatial import Delaunay
+
+    from pfemfort_tpu.mesh.core import Mesh
+    from pfemfort_tpu.parallel.partition import partition_elements
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    n = 10
+    g = np.linspace(0, 1, n + 1)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    interior = ((pts > 1e-9) & (pts < 1 - 1e-9)).all(axis=1)
+    pts[interior] += rng.uniform(-0.25, 0.25, (int(interior.sum()), 3)) / n
+    tri = Delaunay(pts)
+    conn = tri.simplices.astype(np.int64)
+    a, b, c, d = (pts[conn[:, i]] for i in range(4))
+    vol6 = np.einsum("ij,ij->i", np.cross(b - a, c - a), d - a)
+    conn[vol6 < 0] = conn[vol6 < 0][:, [0, 2, 1, 3]]
+    conn = conn[np.abs(vol6) > 1e-12]
+    mesh = Mesh("tetra4", pts, conn.astype(np.int32))
+
+    S = 8
+    cuts = {}
+    for method in ("rcb", "greedy"):
+        part = partition_elements(mesh, S, method=method)
+        counts = np.bincount(part, minlength=S)
+        assert counts.min() > 0
+        cuts[method] = native.edge_cut(mesh.conn, mesh.n_node, 3, part)
+    rand = rng.permutation(np.arange(mesh.n_elem) % S).astype(np.int32)
+    cuts["random"] = native.edge_cut(mesh.conn, mesh.n_node, 3, rand)
+
+    assert cuts["rcb"] > 0 and cuts["greedy"] > 0
+    # pin the quality ratio: geometric/graph partitions must beat random
+    # by >= 2x (they achieve ~5-10x on this mesh; 2x leaves slack for rng)
+    assert cuts["rcb"] < 0.5 * cuts["random"], cuts
+    assert cuts["greedy"] < 0.5 * cuts["random"], cuts

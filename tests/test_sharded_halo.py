@@ -116,3 +116,38 @@ def test_manufactured_solution_on_shards():
         device_mesh=dm, rtol=1e-11)
     u_exact = (mesh.coords ** 2).sum(axis=1)
     assert np.abs(res.u_full - u_exact).max() < 1e-8
+
+
+@pytest.mark.parametrize("method", ["bicgstab", "gmres"])
+def test_distributed_krylov_menu_dia(method):
+    """-ksp_type bicgstab/gmres on the sharded DIA path must match the
+    single-device solve (the reference switches its MPI KSP the same way,
+    solverpetsc.F:198)."""
+    dm = _mesh_or_skip(4)
+    mesh, dbc = generate.box_tet(0, 1, 4, 0, 1, 4, 0, 1, 8)
+    res = solve_implicit_sharded(
+        mesh, 1, dbc,
+        lambda c: poisson_element_matrices(c, "tetra4", source=-6.0),
+        device_mesh=dm, rtol=1e-10, method=method)
+    assert bool(np.asarray(res.stats.converged))
+    u_exact = (mesh.coords ** 2).sum(axis=1)
+    assert np.abs(res.u_full - u_exact).max() < 1e-6
+
+
+@pytest.mark.parametrize("method", ["bicgstab", "gmres"])
+def test_distributed_krylov_menu_ell(method):
+    """The same menu on the unstructured (scrambled, dist/ell) path."""
+    dm = _mesh_or_skip(4)
+    mesh, dbc = generate.box_tet(0, 1, 5, 0, 1, 5, 0, 1, 6)
+    perm = np.random.default_rng(7).permutation(mesh.n_node)
+    mesh = mesh.renumbered(perm.astype(np.int64))
+    dbc = dbc.copy()
+    dbc[:, 0] = perm[dbc[:, 0].astype(np.int64)]
+    res = solve_implicit_sharded(
+        mesh, 1, dbc,
+        lambda c: poisson_element_matrices(c, "tetra4", source=-6.0),
+        device_mesh=dm, rtol=1e-10, method=method, recover=False)
+    assert res.timings["assembly_layout"] == "ell", res.timings
+    assert bool(np.asarray(res.stats.converged))
+    u_exact = (mesh.coords ** 2).sum(axis=1)
+    assert np.abs(res.u_full - u_exact).max() < 1e-6
