@@ -708,34 +708,84 @@ def unstructured_stage(n: int, detail: dict):
         _log(f"[unstr] sg spmv compile {time.perf_counter()-t0:.1f}s")
         best = _best_timing(lambda: _sync(chain_sg(P, A.vals, x)),
                             rt, sg_iters) or float("inf")
+        sg_gbps = ell_bytes / best / 1e9
+        _log(f"[unstr] sg spmv {best*1e6:.0f}us, model {sg_gbps:.0f} GB/s "
+             f"({100*sg_gbps/peak:.0f}% peak), {nnz/best/1e9:.2f} Gnnz/s, "
+             f"{sg_gbps/xla_gbps:.0f}x the XLA gather")
+        u_det.update({
+            "spmv_sg_pure_gbps": float(sg_gbps),
+            "spmv_sg_pure_nnz_per_s": float(nnz / best),
+        })
+
+    # hybrid DIA + slot-gather (sparse/hybrid.py) — the PRODUCTION
+    # unstructured kernel (drivers/common.py routes the single-chip
+    # unstructured solve through it): dense diagonals stream through the
+    # Pallas DIA kernel, the remainder through slot-gather.  Reported as
+    # spmv_ell_gbps because it IS the unstructured-SpMV number now; the
+    # traffic model stays the ELL one (2KN + 2N floats of useful bytes)
+    # for comparability with the pure kernels above.
+    from pfemfort_tpu.sparse import hybrid as hyb
+    from pfemfort_tpu.sparse.ops import pallas_enabled
+    if not pallas_enabled():
+        u_det["hybrid_skipped"] = "non-TPU backend"
+    else:
+        t0 = time.perf_counter()
+        hplan = hyb.build_best_hybrid(
+            pattern, coords_rows=mesh.coords[dofmap.assy_for_soln])
+        Ph = hyb.prepare_hybrid(hplan)
+        hord = jnp.asarray(hplan.order)
+        hinv = jnp.asarray(hplan.inv_order)
+        t_hplan = time.perf_counter() - t0
+        rem_v = 0 if hplan.sg is None else hplan.sg.V
+        _log(f"[unstr] hybrid plan {t_hplan:.1f}s  D={hplan.D} "
+             f"remV={rem_v} (nnz {hplan.nnz_dia}+{hplan.nnz_rem})")
+        u_det.update(hybrid_plan_s=float(t_hplan), hybrid_D=int(hplan.D),
+                     hybrid_rem_V=int(rem_v),
+                     hybrid_nnz_dia=int(hplan.nnz_dia),
+                     hybrid_nnz_rem=int(hplan.nnz_rem))
+        hy_iters = 400
+
+        @jax.jit
+        def chain_hy(Ph, vals, x):
+            packed = hyb.hybrid_pack(Ph, vals)
+            def body(i, x):
+                return hyb.apply_hybrid(Ph, packed, x) * 0.999
+            return jax.lax.fori_loop(0, hy_iters, body, x)
+        t0 = time.perf_counter()
+        _sync(chain_hy(Ph, A.vals, x))
+        _log(f"[unstr] hybrid spmv compile {time.perf_counter()-t0:.1f}s")
+        best = _best_timing(lambda: _sync(chain_hy(Ph, A.vals, x)),
+                            rt, hy_iters) or float("inf")
         ell_gbps = ell_bytes / best / 1e9
-        _log(f"[unstr] sg spmv {best*1e6:.0f}us, model {ell_gbps:.0f} GB/s "
-             f"({100*ell_gbps/peak:.0f}% peak), {nnz/best/1e9:.2f} Gnnz/s, "
+        _log(f"[unstr] hybrid spmv {best*1e6:.0f}us, model {ell_gbps:.0f} "
+             f"GB/s ({100*ell_gbps/peak:.0f}% peak), "
+             f"{nnz/best/1e9:.2f} Gnnz/s, "
              f"{ell_gbps/xla_gbps:.0f}x the XLA gather")
         u_det.update({
             "spmv_ell_gbps": float(ell_gbps),
             "spmv_ell_pct_peak": float(100 * ell_gbps / peak),
             "spmv_ell_nnz_per_s": float(nnz / best),
+            "spmv_ell_kernel": "hybrid dia+slotgather",
         })
 
-        # Jacobi-CG through the slot-gather operator (RCM-permuted space)
+        # Jacobi-CG through the hybrid operator (the production path)
         @jax.jit
-        def solve(P, Ae, b, ord_d, inv_d):
-            valsv = sgm.pack_values(P, Ae.vals)
+        def solve(Ph, Ae, b, ord_d, inv_d):
             diag = extract_diagonal(Ae)[ord_d]
-            op = lambda v: sgm.apply_slotgather(P, valsv, v)
+            packed = hyb.hybrid_pack(Ph, Ae.vals)
+            op = lambda v: hyb.apply_hybrid(Ph, packed, v)
             u_p, st = cg_solve(op, b[ord_d],
                                precond=jacobi_preconditioner(diag),
                                rtol=1e-6, maxiter=5000)
             return u_p[inv_d], st
-        u, stats = solve(P, A, b, ord_d, inv_d)
+        u, stats = solve(Ph, A, b, hord, hinv)
         _sync(u)
         t0 = time.perf_counter()
-        u, stats = solve(P, A, b, ord_d, inv_d)
+        u, stats = solve(Ph, A, b, hord, hinv)
         _sync(u)
         t_solve = max(time.perf_counter() - t0 - rt, 1e-9)
-        _log(f"[unstr] sg cg {t_solve:.2f}s, {int(np.asarray(stats.iters))} "
-             f"iters")
+        _log(f"[unstr] hybrid cg {t_solve:.2f}s, "
+             f"{int(np.asarray(stats.iters))} iters")
         u_det.update(cg_iters=int(np.asarray(stats.iters)),
                      cg_solve_s=float(t_solve))
 

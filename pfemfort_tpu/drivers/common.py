@@ -258,36 +258,41 @@ def solve_implicit(
                              precond_used=requested),
             )
 
-    # Unstructured (ELL) meshes on a real TPU: solve in an RCM-reordered
-    # space through the slot-gather Pallas SpMV (sparse/slotgather.py) —
-    # the XLA lowering of the ELL gather runs on the scalar unit at
-    # ~0.9 GB/s, two orders of magnitude below this kernel.
+    # Unstructured (ELL) meshes on a real TPU: solve in a bandwidth-
+    # reordered space through the hybrid DIA + slot-gather Pallas SpMV
+    # (sparse/hybrid.py) — dense diagonals stream through the ~730 GB/s
+    # DIA kernel, the irregular remainder through the slot-gather kernel;
+    # the XLA lowering of the raw ELL gather runs on the scalar unit at
+    # ~0.9 GB/s, two orders of magnitude below either.
     pattern = getattr(assemble_reduced, "pattern", None)
     sg = None
     if (pattern is not None and pattern.layout == "ell"
             and dtype == jnp.float32):
-        from pfemfort_tpu.sparse import slotgather as sgm
+        from pfemfort_tpu.sparse import hybrid as hyb
+        from pfemfort_tpu.sparse.ops import pallas_enabled
 
-        if sgm.slotgather_supported(pattern.n_rows):
-            # candidate orderings: RCM + geometric lex (the lex order wins
-            # on near-lattice meshes: V=32 vs 40 on the scrambled flagship)
+        if pallas_enabled():
+            # candidate orderings: geometric lex + RCM (lex wins on
+            # near-lattice meshes and often collapses the split to pure
+            # DIA, which lifts the slot-gather VMEM row cap entirely)
             eq_nodes = dofmap.assy_for_soln // ndof
-            plan = sgm.build_best_plan(
+            plan = hyb.build_best_hybrid(
                 pattern, coords_rows=mesh.coords[eq_nodes],
                 comp=dofmap.assy_for_soln % ndof)
-            sg = (sgm.prepare_slotgather(plan),
-                  jnp.asarray(plan.order), jnp.asarray(plan.inv_order))
+            if hyb.hybrid_supported(plan):
+                sg = (hyb.prepare_hybrid(plan),
+                      jnp.asarray(plan.order), jnp.asarray(plan.inv_order))
 
     @jax.jit
     def assemble_and_solve_sg(coords_em, fvec, P, ord_d, inv_d):
-        from pfemfort_tpu.sparse import slotgather as sgm
+        from pfemfort_tpu.sparse import hybrid as hyb
         from pfemfort_tpu.sparse.spmv import extract_diagonal
 
         A, b = assemble_reduced(coords_em)
         b = (b + fvec)[ord_d]
         diag = extract_diagonal(A)[ord_d]
-        valsv = sgm.pack_values(P, A.vals)
-        operator = lambda v: sgm.apply_slotgather(P, valsv, v)
+        packed = hyb.hybrid_pack(P, A.vals)
+        operator = lambda v: hyb.apply_hybrid(P, packed, v)
         if precond == "cheby":
             from pfemfort_tpu.solve.precond import chebyshev_preconditioner
             pre = chebyshev_preconditioner(operator, diag)

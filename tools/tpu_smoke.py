@@ -207,13 +207,80 @@ def main():
                    and e7 < 5e-4 and it7 <= 40))
     assert res7.timings.get("precond_used") == "amg" and e7 < 5e-4
 
+    # --- 8. hybrid DIA+slot-gather SpMV on-chip ---------------------------
+    # (a) scrambled lattice -> lex ordering collapses the split to pure DIA;
+    # (b) Delaunay -> genuine mixed split.  Both must match the numpy
+    # reference executor (which the CPU suite pins against spmv_ell).
+    from pfemfort_tpu.sparse import hybrid as hyb
+
+    rows_xyz = mesh.coords[dofmap.assy_for_soln]
+    hplan = hyb.build_best_hybrid(pattern, coords_rows=rows_xyz)
+    Ph = hyb.prepare_hybrid(hplan)
+    xh = jnp.asarray(rng.standard_normal(pattern.n_rows).astype(np.float32))
+
+    @jax.jit
+    def hyb_apply(Ph, vals, xh):
+        return hyb.apply_hybrid(Ph, hyb.hybrid_pack(Ph, vals), xh)
+
+    y8 = np.asarray(hyb_apply(Ph, vals, xh))
+    y8_ref = hyb.apply_hybrid_reference(
+        hplan, np.asarray(vals, np.float64), np.asarray(xh, np.float64))
+    e8 = np.abs(y8 - y8_ref).max() / max(np.abs(y8_ref).max(), 1e-30)
+    print(f"[8] hybrid SpMV (lattice, D={hplan.D}, "
+          f"rem={'none' if hplan.sg is None else hplan.sg.V}) "
+          f"rel err {e8:.1e}")
+    record("hybrid_spmv_lattice", rel_err=float(e8), D=int(hplan.D),
+           pure_dia=bool(hplan.sg is None), ok=bool(e8 < 1e-5))
+    assert e8 < 1e-5
+
+    # Delaunay (mixed split): reuse stage-7 style jittered lattice points
+    from scipy.spatial import Delaunay
+
+    from pfemfort_tpu.mesh.core import Mesh as _Mesh
+
+    rng8 = np.random.default_rng(8)
+    g = np.linspace(0, 1, 11)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    interior = ((pts > 1e-9) & (pts < 1 - 1e-9)).all(axis=1)
+    pts[interior] += rng8.uniform(-0.25, 0.25,
+                                  (int(interior.sum()), 3)) / 10
+    tri = Delaunay(pts)
+    conn = tri.simplices.astype(np.int64)
+    a_, b_, c_, d_ = (pts[conn[:, i]] for i in range(4))
+    vol6 = np.einsum("ij,ij->i", np.cross(b_ - a_, c_ - a_), d_ - a_)
+    conn[vol6 < 0] = conn[vol6 < 0][:, [0, 2, 1, 3]]
+    conn = conn[np.abs(vol6) > 1e-12]
+    dmesh = _Mesh("tetra4", pts, conn.astype(np.int32))
+    hull = np.unique(tri.convex_hull)
+    ddbc = np.stack([hull, np.zeros(len(hull)), np.zeros(len(hull))],
+                    axis=1)
+    ddof = build_dofmap(dmesh, 1, ddbc)
+    dpat = build_pattern(ddof.elem_dof, ddof.total_dof, layout="ell")
+    dplan = hyb.build_best_hybrid(
+        dpat, coords_rows=dmesh.coords[ddof.assy_for_soln])
+    Pd8 = hyb.prepare_hybrid(dplan)
+    dvals = jnp.asarray(rng8.standard_normal(
+        (dpat.n_rows, dpat.ell_k)).astype(np.float32))
+    dx = jnp.asarray(rng8.standard_normal(dpat.n_rows).astype(np.float32))
+    y8b = np.asarray(hyb_apply(Pd8, dvals, dx))
+    y8b_ref = hyb.apply_hybrid_reference(
+        dplan, np.asarray(dvals, np.float64), np.asarray(dx, np.float64))
+    e8b = np.abs(y8b - y8b_ref).max() / max(np.abs(y8b_ref).max(), 1e-30)
+    print(f"[8b] hybrid SpMV (delaunay, D={dplan.D}, "
+          f"remV={0 if dplan.sg is None else dplan.sg.V}) rel err {e8b:.1e}")
+    record("hybrid_spmv_delaunay", rel_err=float(e8b), D=int(dplan.D),
+           rem_V=int(0 if dplan.sg is None else dplan.sg.V),
+           ok=bool(e8b < 1e-5))
+    assert e8b < 1e-5
+
     RESULTS["ok"] = all(s.get("ok") for s in RESULTS["stages"].values())
     print("TPU SMOKE OK")
 
 
 def write_artifact(path=None):
     if path is None:
-        path = os.environ.get("TPU_SMOKE_OUT", "TPU_SMOKE_r04.json")
+        path = os.environ.get("TPU_SMOKE_OUT", "TPU_SMOKE_r05.json")
     RESULTS["unix_time"] = time.time()
     with open(path, "w") as f:
         json.dump(RESULTS, f, indent=1, default=str)
