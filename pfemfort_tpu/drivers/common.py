@@ -213,38 +213,96 @@ def solve_implicit(
         # options-file escape hatch, solverpetsc.F:198-209, for meshes
         # with no lattice at all).  Falls back to Jacobi LOUDLY when the
         # setup backend cannot cover this system.
+        #
+        # TPU + ELL pattern: the WHOLE solve moves to the hybrid kernel's
+        # bandwidth-ordered row space — operator through the hybrid
+        # DIA+slot-gather SpMV, and every PC-internal ELL product (AMG
+        # level/P/P^T ops, IC(0) T/T^T) through per-block device plans
+        # (solve/amg_device.py).  Without this the PC internals lower to
+        # the TPU scalar core and an iteration-winning PC can lose
+        # wall-clock (VERDICT r4 weak #2, ADVICE r4 #2).
+        from pfemfort_tpu.solve.amg_device import permute_csr
+        from pfemfort_tpu.solve.ic0 import _csr_from_matrix
+        from pfemfort_tpu.sparse.ops import pallas_enabled
+
         requested = precond
         A0, b0 = jax.jit(assemble_reduced)(coords_em)
         pat0 = getattr(assemble_reduced, "pattern", None)
+
+        hplan = None
+        if (pallas_enabled() and pat0 is not None
+                and pat0.layout == "ell" and dtype == jnp.float32):
+            from pfemfort_tpu.sparse import hybrid as hyb
+
+            eq_nodes = dofmap.assy_for_soln // ndof
+            cand = hyb.build_best_hybrid(
+                pat0, coords_rows=mesh.coords[eq_nodes],
+                comp=dofmap.assy_for_soln % ndof)
+            if hyb.hybrid_supported(cand):
+                hplan = cand
+
+        indptr, indices, vals_h, n0 = _csr_from_matrix(A0, pat0)
+        if hplan is not None:
+            indptr, indices, vals_h = permute_csr(indptr, indices, vals_h,
+                                                  hplan.order)
+
         pre_fn = None
+        pc_tree = None
         if precond == "ic0":
-            from pfemfort_tpu.solve.ic0 import build_ic0, ic0_preconditioner
+            from pfemfort_tpu.solve.amg_device import (
+                build_ic0_device, ic0_device_preconditioner)
+            from pfemfort_tpu.solve.ic0 import build_ic0_from_csr
 
-            arrs = build_ic0(A0, pat0)
+            arrs = build_ic0_from_csr(indptr, indices, vals_h, n0,
+                                      dtype=dtype)
             if arrs is not None:
-                pre_fn = lambda a: ic0_preconditioner(a)
+                pc_tree = build_ic0_device(arrs, dtype=dtype)
+                pre_fn = lambda a, op: ic0_device_preconditioner(a)
         else:
-            from pfemfort_tpu.solve.amg import (
-                build_samg, samg_preconditioner)
-            from pfemfort_tpu.solve.ic0 import _csr_from_matrix
+            from pfemfort_tpu.solve.amg import build_samg
+            from pfemfort_tpu.solve.amg_device import (
+                build_samg_device, samg_device_preconditioner)
 
-            indptr, indices, vals_h, n0 = _csr_from_matrix(A0, pat0)
             built = build_samg(indptr, indices, vals_h, n0, ndof=ndof,
                                dtype=dtype)
             if built is not None:
                 arrs, amg_meta = built
-                pre_fn = lambda a: samg_preconditioner(a, amg_meta)
+                pc_tree = build_samg_device(
+                    arrs, amg_meta.sizes, dtype=dtype,
+                    external_fine_op=hplan is not None)
+                pre_fn = (lambda a, op:
+                          samg_device_preconditioner(a, amg_meta, op))
         if pre_fn is None:
             precond = "jacobi"
         else:
-            @jax.jit
-            def solve_hostpc(A, b, arrs):
-                operator, _ = operator_and_diag(A)
-                return solver(operator, b, precond=pre_fn(arrs),
-                              rtol=rtol, atol=atol, maxiter=maxiter)
-
             t1 = time.perf_counter()
-            u, stats = solve_hostpc(A0, b0 + fvec, arrs)
+            if hplan is not None:
+                from pfemfort_tpu.sparse import hybrid as hyb
+
+                Ph = hyb.prepare_hybrid(hplan)
+                ord_d = jnp.asarray(hplan.order)
+                inv_d = jnp.asarray(hplan.inv_order)
+
+                @jax.jit
+                def solve_hostpc_h(Ph, vals, b_p, pc, inv_d):
+                    packed = hyb.hybrid_pack(Ph, vals)
+                    operator = lambda v: hyb.apply_hybrid(Ph, packed, v)
+                    u_p, st = solver(operator, b_p,
+                                     precond=pre_fn(pc, operator),
+                                     rtol=rtol, atol=atol, maxiter=maxiter)
+                    return u_p[inv_d], st
+
+                u, stats = solve_hostpc_h(Ph, A0.vals, (b0 + fvec)[ord_d],
+                                          pc_tree, inv_d)
+            else:
+                @jax.jit
+                def solve_hostpc(A, b, pc):
+                    operator, _ = operator_and_diag(A)
+                    return solver(operator, b,
+                                  precond=pre_fn(pc, None),
+                                  rtol=rtol, atol=atol, maxiter=maxiter)
+
+                u, stats = solve_hostpc(A0, b0 + fvec, pc_tree)
             u = jax.block_until_ready(u)
             u_full = dofmap.expand_solution(np.asarray(u, dtype=np.float64))
             return ImplicitResult(
@@ -253,7 +311,7 @@ def solve_implicit(
                 stats=jax.tree.map(lambda a: np.asarray(a), stats),
                 timings=dict(pattern_s=t_pattern,
                              solve_s=time.perf_counter() - t1,
-                             slotgather=False,
+                             slotgather=hplan is not None,
                              precond_requested=requested,
                              precond_used=requested),
             )

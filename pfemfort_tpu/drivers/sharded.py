@@ -308,12 +308,17 @@ def solve_implicit_sharded(
         # core); None when the within-shard locality is too poor
         from pfemfort_tpu.sparse.ops import pallas_enabled
         sg = None
+        hy = None
         if (pallas_enabled()
                 and dtype == jnp.float32
                 and Prow + S * wx + 1 <= (1 << 21)):
             from pfemfort_tpu.parallel.dist_ell import (
-                build_ell_halo_slotgather)
-            sg = build_ell_halo_slotgather(cols_local, wx, Prow)
+                build_ell_halo_hybrid, build_ell_halo_slotgather)
+            # per-shard hybrid first (dense local diagonals -> DIA
+            # kernel); plain slot-gather when nothing is dense
+            hy = build_ell_halo_hybrid(cols_local, wx, Prow)
+            if hy is None:
+                sg = build_ell_halo_slotgather(cols_local, wx, Prow)
         amg = None
         if precond == "amg":
             # distributed smoothed-aggregation AMG (solve/amg.py): sharded
@@ -355,7 +360,7 @@ def solve_implicit_sharded(
         t1 = time.perf_counter()
         x, stats = distributed_cg_solve_ell(
             device_mesh, cols_s, vals_s, b_s, sr_s, wx,
-            rtol=rtol, maxiter=maxiter, sg=sg,
+            rtol=rtol, maxiter=maxiter, sg=sg, hy=hy,
             ndof_block=(ndof if precond == "bjacobi" else 1),
             ic0_blocks=ic0_blocks, amg=amg, method=method)
         x = jax.block_until_ready(x)
@@ -383,6 +388,10 @@ def solve_implicit_sharded(
                    distributed_assembly=layout in ("dia", "ell"),
                    precond_requested=precond_requested,
                    precond_used=precond_used)
+    if layout == "ell":
+        timings["inshard_kernel"] = (
+            "hybrid" if hy is not None else
+            "slotgather" if sg is not None else "xla")
     if mg_refused is not None:
         timings["mg_refused"] = mg_refused
     return ImplicitResult(

@@ -319,6 +319,151 @@ def build_ell_halo_slotgather(cols_local: np.ndarray, wx: int,
     )
 
 
+def build_ell_halo_hybrid(cols_local: np.ndarray, wx: int,
+                          n_rows_local: int, fill_threshold: float = 0.2,
+                          max_d: int = 48, v_cap: int = 192):
+    """Per-shard HYBRID split of the local ELL blocks (sparse/hybrid.py's
+    idea applied inside shard_map): own-own couplings whose diagonal
+    (c - r in local row space) is dense across the shards stream through
+    the Pallas DIA kernel on the shard's OWN x block — no halo splice
+    needed, ghost entries are never on a local diagonal — while the
+    remainder (sparse own diagonals + all ghost slots) keeps the
+    slot-gather plan over the ghost-extended vector.
+
+    With the within-shard geometric-lex numbering (parallel/shard.py) a
+    scrambled lattice mesh puts nearly every interior coupling on ~15
+    dense local diagonals, so the distributed CG's in-shard SpMV runs at
+    the DIA kernel's bandwidth instead of the issue-bound slot-gather's.
+
+    Offsets are selected GLOBALLY (one kernel program for every shard):
+    a diagonal qualifies when its total fill across shards exceeds
+    `fill_threshold` of the total rows.  Returns a dict of stacked
+    (S, ...) arrays + static dims, or None when the remainder plan
+    exceeds `v_cap` (callers fall back to build_ell_halo_slotgather).
+    """
+    from pfemfort_tpu.sparse import slotgather as sgm
+
+    S, P, K = cols_local.shape
+    assert P == n_rows_local
+    n_cols_ext = P + S * wx + 1
+    cols = cols_local.astype(np.int64)
+    rows = np.arange(P, dtype=np.int64)[None, :, None]
+    own = cols < P
+    off = np.where(own, cols - rows, 0)
+    shift = P - 1
+    cnt = np.bincount((off + shift).reshape(-1)[own.reshape(-1)],
+                      minlength=2 * P - 1)
+    thresh = max(int(fill_threshold * S * P), 1)
+    cand = np.nonzero(cnt >= thresh)[0]
+    if len(cand) > max_d:
+        cand = cand[np.argsort(cnt[cand], kind="stable")[::-1][:max_d]]
+    offsets = tuple(int(o) for o in np.sort(cand - shift))
+    D = len(offsets)
+    if D == 0:
+        return None                      # nothing dense: plain slot-gather
+
+    off2d = np.full(2 * P - 1, -1, dtype=np.int32)
+    off2d[np.asarray(offsets, np.int64) + shift] = np.arange(
+        D, dtype=np.int32)
+    d_idx = np.where(own, off2d[off + shift], -1)
+    in_dia = d_idx >= 0
+
+    # per-shard (D, P) source map into the shard's flat (P*K) value block
+    dia_src = np.full((S, D, P), -1, dtype=np.int64)
+    src_flat = (rows * K + np.arange(K, dtype=np.int64)[None, None, :])
+    sidx = np.broadcast_to(np.arange(S, dtype=np.int64)[:, None, None],
+                           cols.shape)
+    ridx = np.broadcast_to(rows, cols.shape)
+    dia_src[sidx[in_dia], d_idx[in_dia], ridx[in_dia]] = \
+        np.broadcast_to(src_flat, cols.shape)[in_dia]
+
+    # remainder: everything else (sparse own diagonals + ghosts + padding)
+    rem = (cols < n_cols_ext - 1) & ~in_dia
+    k_rem = max(int(rem.sum(axis=2).max(initial=1)), 1)
+    rem_cols = np.full((S, P, k_rem), n_cols_ext, dtype=np.int64)
+    rem_src = np.full((S, P, k_rem), -1, dtype=np.int64)
+    within = np.cumsum(rem, axis=2) - 1
+    rem_cols[sidx[rem], ridx[rem], within[rem]] = cols[rem]
+    rem_src[sidx[rem], ridx[rem], within[rem]] = \
+        np.broadcast_to(src_flat, cols.shape)[rem]
+
+    plans = []
+    for s in range(S):
+        plan = sgm.build_slotgather_plan(rem_cols[s], n_rows=P,
+                                         n_cols=n_cols_ext, sub=8)
+        if plan.V > v_cap:
+            return None
+        ok = plan.src >= 0
+        plan.src = np.where(
+            ok, rem_src[s].reshape(-1)[np.clip(plan.src, 0, None)], -1)
+        plans.append(plan)
+    T, V, G = sgm.uniform_dims(plans)
+    padded = [sgm.pad_plan(p, T, V, G) for p in plans]
+    if max(int(p.src.max(initial=0)) for p in padded) >= 2 ** 31:
+        return None
+    if dia_src.max(initial=0) >= 2 ** 31:
+        return None
+    return dict(
+        dia_src=dia_src.astype(np.int32),
+        qsel=np.stack([p.qsel for p in padded]),
+        vstart=np.stack([p.vstart for p in padded]),
+        rsel=np.stack([p.rsel for p in padded]),
+        eps=np.stack([p.eps for p in padded]),
+        src=np.stack([p.src.astype(np.int32) for p in padded]),
+        offsets=offsets,
+        dims=(T, V, G, P, n_cols_ext),
+    )
+
+
+def prepare_hybrid_local(hy_l, valsv_offsets_dims, vals_l):
+    """Per-solve staging INSIDE shard_map: pack both value streams from
+    this shard's (P, K) assembled values.  hy_l = (dia_src_l, qsel_l,
+    vstart_l, rsel_l, eps_l, src_l); returns (PallasDIA, sg_tuple,
+    valsv)."""
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.sparse.dia import DIAMatrix
+    from pfemfort_tpu.sparse.pallas_spmv import prepare_dia_pallas
+
+    offsets, dims = valsv_offsets_dims
+    T, V, G, P, n_cols_ext = dims
+    dia_src_l = hy_l[0]
+    sg_l = hy_l[1:]
+    flat = jnp.reshape(vals_l, (-1,))
+    dmask = (dia_src_l >= 0).astype(vals_l.dtype)
+    dia_vals = flat[jnp.clip(dia_src_l, 0, None)] * dmask
+    Pd = prepare_dia_pallas(DIAMatrix(vals=dia_vals, offsets=offsets,
+                                      n_rows=P, lattice=None))
+    src_l = sg_l[4]
+    valsv = (flat[jnp.clip(src_l, 0, None)]
+             * (src_l >= 0).astype(vals_l.dtype))
+    return Pd, sg_l, valsv
+
+
+def spmv_ell_halo_hybrid(Pd, sg_l, valsv_l, send_rows_l, x_l, dims,
+                         axis: str):
+    """y_l = (A x)_l: DIA part on the shard's own x (no halo needed — a
+    local diagonal never crosses the shard), slot-gather remainder on the
+    ghost-extended vector (one all_to_all).  Inside shard_map, TPU only."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfemfort_tpu.sparse.pallas_spmv import apply_dia_pallas
+    from pfemfort_tpu.sparse.slotgather import (
+        PallasSlotGather, apply_slotgather)
+
+    T, V, G, P, n_cols_ext = dims
+    send = x_l[send_rows_l]
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    xg = jnp.concatenate([x_l, recv.reshape(-1),
+                          jnp.zeros((1,), dtype=x_l.dtype)])
+    qsel_l, vstart_l, rsel_l, eps_l, src_l = sg_l
+    Psg = PallasSlotGather(
+        qsel=qsel_l, vstart=vstart_l, rsel=rsel_l, eps=eps_l, src=src_l,
+        n_rows=P, T=T, V=V, G=G, sub=8, n_cols=n_cols_ext)
+    return apply_dia_pallas(Pd, x_l) + apply_slotgather(Psg, valsv_l, xg)
+
+
 def spmv_ell_halo_sg(sg_l, valsv_l, send_rows_l, x_l, dims, axis: str):
     """y_l = (A x)_l: pairwise ghost exchange + the slot-gather Pallas
     SpMV on the extended local vector (inside shard_map, TPU only)."""

@@ -225,6 +225,7 @@ def distributed_cg_solve_ell(
     maxiter: int = 10_000,
     axis: str = "shard",
     sg=None,
+    hy=None,
     ndof_block: int = 1,
     ic0_blocks=None,
     amg=None,
@@ -254,7 +255,8 @@ def distributed_cg_solve_ell(
     replicated algebraic tail); mesh-independent iterations on ANY mesh.
     Takes precedence over the other preconditioners."""
     from pfemfort_tpu.parallel.dist_ell import (
-        spmv_ell_halo, spmv_ell_halo_sg)
+        prepare_hybrid_local, spmv_ell_halo, spmv_ell_halo_hybrid,
+        spmv_ell_halo_sg)
 
     n_rows = cols_local.shape[0]
     n_shards = device_mesh.devices.size
@@ -262,7 +264,17 @@ def distributed_cg_solve_ell(
     krylov = _krylov_body(method)
     sg_arrays = ()
     sg_dims = None
-    if sg is not None:
+    hy_dims = None
+    hy_offsets = None
+    if hy is not None:
+        # per-shard hybrid DIA + slot-gather (dist_ell.build_ell_halo_
+        # hybrid): takes precedence over the pure slot-gather plan
+        hy_dims = hy["dims"]
+        hy_offsets = hy["offsets"]
+        sg_arrays = tuple(jnp.asarray(hy[k])
+                          for k in ("dia_src", "qsel", "vstart", "rsel",
+                                    "eps", "src"))
+    elif sg is not None:
         sg_dims = sg["dims"]
         sg_arrays = tuple(jnp.asarray(sg[k])
                           for k in ("qsel", "vstart", "rsel", "eps", "src"))
@@ -278,12 +290,10 @@ def distributed_cg_solve_ell(
         dist_amg, amg_metas = amg
         amg_sharded = (dist_amg.p_cols_s,
                        dist_amg.p_vals_s.astype(vals.dtype))
-        amg_repl = (dist_amg.pt0_cols,
-                    dist_amg.pt0_vals.astype(vals.dtype),
-                    jax.tree.map(
-                        lambda a: (a.astype(vals.dtype)
-                                   if a.dtype in (jnp.float32, jnp.float64)
-                                   else a), dist_amg.tail))
+        amg_repl = jax.tree.map(
+            lambda a: (a.astype(vals.dtype)
+                       if a.dtype in (jnp.float32, jnp.float64)
+                       else a), dist_amg.tail)
     n_sg = len(sg_arrays)
     n_ic = len(ic_arrays)
 
@@ -291,7 +301,15 @@ def distributed_cg_solve_ell(
         sg_l = rest[:n_sg]
         ic_l = rest[n_sg:n_sg + n_ic]
         amg_l = rest[n_sg + n_ic:]
-        if sg_dims is not None:
+        if hy_dims is not None:
+            hyp = tuple(a[0] for a in sg_l)      # drop the unit shard dim
+            Pd, sgp, valsv_l = prepare_hybrid_local(
+                hyp, (hy_offsets, hy_dims), vals_l)
+
+            def operator(x_l):
+                return spmv_ell_halo_hybrid(Pd, sgp, valsv_l, send_rows_l,
+                                            x_l, hy_dims, axis)
+        elif sg_dims is not None:
             sgp = tuple(a[0] for a in sg_l)      # drop the unit shard dim
             src_l = sgp[4]
             valsv_l = (jnp.reshape(vals_l, (-1,))[jnp.clip(src_l, 0, None)]
@@ -322,11 +340,11 @@ def distributed_cg_solve_ell(
         if amg_metas is not None:
             from pfemfort_tpu.solve.amg import dist_samg_preconditioner
             pc_l, pv_l = (a[0] for a in amg_l[:2])
-            pt0c, pt0v, tail = amg_l[2]
+            tail = amg_l[2]
             d = local_diag()
             inv_d = jnp.where(d != 0, 1.0 / d, 0.0)
             precond = dist_samg_preconditioner(
-                pc_l, pv_l, pt0c, pt0v, tail, amg_metas, inv_d,
+                pc_l, pv_l, tail, amg_metas, inv_d,
                 operator, axis)
         elif ic_l:
             from pfemfort_tpu.solve.ic0 import ic0_block_apply

@@ -1,0 +1,277 @@
+"""Device routing for the algebraic preconditioners' internals.
+
+The SA-AMG V-cycle (solve/amg.py) and the IC(0) truncated-Neumann
+application (solve/ic0.py) are built from padded-ELL products.  XLA lowers
+an arbitrary ELL gather to the TPU scalar core (~1 GB/s), so a
+preconditioner that WINS on iterations could still LOSE on wall-clock
+(VERDICT r4 weak #2).  This module wraps each static ELL block in the
+fastest available device form, built once per solve:
+
+  * square blocks -> the hybrid DIA + slot-gather split (sparse/hybrid.py):
+    level operators inherit the fine ordering's bandedness, so most of
+    their mass lands on dense diagonals and streams through the Pallas DIA
+    kernel;
+  * rectangular blocks (P, P^T) -> slot-gather plans (they support
+    n_cols != n_rows natively);
+  * CPU / oversize -> the portable XLA gather (bit-identical math, so the
+    CPU test suite exercises the same cycle structure).
+
+Values are packed at BUILD time (preconditioner matrices are static per
+solve); everything is a pytree passed INTO jit as arguments (big planes as
+jaxpr constants would re-ship with every remote compile — HTTP 413).
+
+Reference role: PETSc PC=hypre/gamg and PC=ILU applications inside
+KSPSolve (/root/reference/src/solverpetsc.F:198-209, 476).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfemfort_tpu.solve.amg import SAMGArrays, SAMGMeta
+
+
+# ---------------------------------------------------------------------------
+# one routed ELL block
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceEll:
+    """A static sparse block with its values packed for the chosen kernel.
+
+    kind == "pallas": dia_packed (PallasDIA | None) + sg/sg_vals
+    (remainder or rectangular plan; either part may be absent).
+    kind == "xla": cols/vals gather fallback (CPU tests, oversize blocks).
+    """
+    dia_packed: Optional[object]          # PallasDIA pytree
+    sg: Optional[object]                  # PallasSlotGather pytree
+    sg_vals: Optional[jax.Array]
+    cols: Optional[jax.Array]
+    vals: Optional[jax.Array]
+    kind: str = dataclasses.field(metadata=dict(static=True))
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _xla_ell(cols, vals, n_cols, dtype) -> DeviceEll:
+    n, _ = cols.shape
+    return DeviceEll(dia_packed=None, sg=None, sg_vals=None,
+                     cols=jnp.asarray(cols),
+                     vals=jnp.asarray(vals, dtype=dtype),
+                     kind="xla", n_rows=int(n), n_cols=int(n_cols))
+
+
+def build_device_ell(cols: np.ndarray, vals: np.ndarray, n_cols: int,
+                     dtype=jnp.float32, v_cap: int = 512,
+                     sg_col_cap: int = 1 << 21) -> DeviceEll:
+    """Route one (n, K) padded-ELL block (sentinel col >= n_cols)."""
+    from pfemfort_tpu.sparse import hybrid as hyb
+    from pfemfort_tpu.sparse import slotgather as sgm
+    from pfemfort_tpu.sparse.ops import pallas_enabled
+
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    n, K = cols.shape
+    if not pallas_enabled():
+        return _xla_ell(cols, vals, n_cols, dtype)
+    sub = 32 if n >= (1 << 19) else 8
+    if n == n_cols:
+        plan = hyb.build_hybrid_plan(cols.astype(np.int64), n,
+                                     order=None, sub=sub)
+        if hyb.hybrid_supported(plan) and (
+                plan.sg is None or plan.sg.V <= v_cap):
+            Ph = hyb.prepare_hybrid(plan)
+            dia_packed, sgv = hyb.hybrid_pack(
+                Ph, jnp.asarray(vals, dtype=dtype))
+            return DeviceEll(dia_packed=dia_packed, sg=Ph.sg, sg_vals=sgv,
+                             cols=None, vals=None, kind="pallas",
+                             n_rows=int(n), n_cols=int(n_cols))
+    elif n_cols <= sg_col_cap:
+        plan = sgm.build_slotgather_plan(cols.astype(np.int64), n,
+                                         order=None, sub=sub,
+                                         n_cols=n_cols)
+        if plan.V <= v_cap and plan.src.max(initial=0) < 2 ** 31:
+            P = sgm.prepare_slotgather(plan)
+            sgv = sgm.pack_values(P, jnp.asarray(vals, dtype=dtype))
+            return DeviceEll(dia_packed=None, sg=P, sg_vals=sgv,
+                             cols=None, vals=None, kind="pallas",
+                             n_rows=int(n), n_cols=int(n_cols))
+    return _xla_ell(cols, vals, n_cols, dtype)
+
+
+def device_ell_apply(d: DeviceEll, x: jnp.ndarray) -> jnp.ndarray:
+    """y = B x (x length d.n_cols; returns d.n_rows)."""
+    from pfemfort_tpu.sparse.pallas_spmv import apply_dia_pallas
+    from pfemfort_tpu.sparse.slotgather import apply_slotgather
+
+    if d.kind == "xla":
+        xp = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
+        return jnp.sum(d.vals * xp[jnp.clip(d.cols, 0, x.shape[0])],
+                       axis=1)
+    y = None
+    if d.dia_packed is not None:
+        y = apply_dia_pallas(d.dia_packed, x)
+    if d.sg is not None:
+        ysg = apply_slotgather(d.sg, d.sg_vals, x)
+        y = ysg if y is None else y + ysg
+    if y is None:
+        y = jnp.zeros((d.n_rows,), dtype=x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# SA-AMG hierarchy on device kernels
+# ---------------------------------------------------------------------------
+
+class SAMGDevice(NamedTuple):
+    """Per-level routed blocks (pytree; pass INTO jit as an argument)."""
+    ops: Tuple[Optional[DeviceEll], ...]   # level operators; ops[0] may be
+    #                                        None when the caller supplies
+    #                                        the fine operator (spmv0)
+    p: Tuple[DeviceEll, ...]
+    pt: Tuple[DeviceEll, ...]
+    inv_diags: Tuple[jax.Array, ...]
+    coarse_inv: jax.Array
+
+
+def build_samg_device(arrs: SAMGArrays, sizes: Tuple[int, ...],
+                      dtype=jnp.float32,
+                      external_fine_op: bool = False) -> SAMGDevice:
+    """Route every block of a built hierarchy.  `sizes`: rows per level
+    (SAMGMeta.sizes).  `external_fine_op`: skip ops[0] — the caller's own
+    (hybrid) operator smooths the fine level."""
+    nlev = len(arrs.a_cols)
+    ops = []
+    for li in range(nlev):
+        if li == 0 and external_fine_op:
+            ops.append(None)
+            continue
+        ops.append(build_device_ell(np.asarray(arrs.a_cols[li]),
+                                    np.asarray(arrs.a_vals[li]),
+                                    n_cols=int(np.asarray(
+                                        arrs.a_cols[li]).shape[0]),
+                                    dtype=dtype))
+    p, pt = [], []
+    for li in range(nlev - 1):
+        n_f = int(np.asarray(arrs.p_cols[li]).shape[0])
+        n_c = int(np.asarray(arrs.pt_cols[li]).shape[0])
+        p.append(build_device_ell(np.asarray(arrs.p_cols[li]),
+                                  np.asarray(arrs.p_vals[li]),
+                                  n_cols=n_c, dtype=dtype))
+        pt.append(build_device_ell(np.asarray(arrs.pt_cols[li]),
+                                   np.asarray(arrs.pt_vals[li]),
+                                   n_cols=n_f, dtype=dtype))
+    return SAMGDevice(ops=tuple(ops), p=tuple(p), pt=tuple(pt),
+                      inv_diags=tuple(jnp.asarray(d, dtype=dtype)
+                                      for d in arrs.inv_diags),
+                      coarse_inv=jnp.asarray(arrs.coarse_inv, dtype=dtype))
+
+
+def _vcycle_device(dev: SAMGDevice, meta: SAMGMeta, level: int,
+                   r: jnp.ndarray, spmv0) -> jnp.ndarray:
+    last = len(dev.inv_diags) - 1
+    if level == last:
+        return dev.coarse_inv @ r
+    Dinv = dev.inv_diags[level]
+    om = meta.omega_smooth
+    if level == 0 and spmv0 is not None:
+        spmv = spmv0
+    else:
+        op = dev.ops[level]
+        spmv = lambda x: device_ell_apply(op, x)
+
+    e = om * Dinv * r
+    for _ in range(meta.nu - 1):
+        e = e + om * Dinv * (r - spmv(e))
+    rc = device_ell_apply(dev.pt[level], r - spmv(e))
+    ec = _vcycle_device(dev, meta, level + 1, rc, None)
+    e = e + device_ell_apply(dev.p[level], ec)
+    for _ in range(meta.nu):
+        e = e + om * Dinv * (r - spmv(e))
+    return e
+
+
+def samg_device_preconditioner(dev: SAMGDevice, meta: SAMGMeta,
+                               spmv0: Optional[Callable] = None
+                               ) -> Callable:
+    """r -> M^-1 r: one symmetric V(nu, nu) cycle with every product on
+    the routed kernels.  `spmv0`: the caller's fine operator (must be the
+    SAME matrix in the SAME row space)."""
+    def precond(r):
+        return _vcycle_device(dev, meta, 0, r, spmv0)
+
+    return precond
+
+
+# ---------------------------------------------------------------------------
+# IC(0) on device kernels
+# ---------------------------------------------------------------------------
+
+class IC0Device(NamedTuple):
+    """Routed T / T^T blocks + 1/diag(L) (pytree; pass INTO jit)."""
+    t: DeviceEll
+    tt: DeviceEll
+    dinv: jax.Array
+
+
+def build_ic0_device(arrs, dtype=jnp.float32) -> IC0Device:
+    """Route an IC0Arrays factor's triangular ELL blocks (solve/ic0.py)."""
+    n = int(np.asarray(arrs.t_cols).shape[0])
+    return IC0Device(
+        t=build_device_ell(np.asarray(arrs.t_cols),
+                           np.asarray(arrs.t_vals), n_cols=n, dtype=dtype),
+        tt=build_device_ell(np.asarray(arrs.tt_cols),
+                            np.asarray(arrs.tt_vals), n_cols=n,
+                            dtype=dtype),
+        dinv=jnp.asarray(arrs.dinv, dtype=dtype))
+
+
+def ic0_device_preconditioner(dev: IC0Device, m: int = 4) -> Callable:
+    """r -> G_m^T G_m r with the 2(m-1) T/T^T products on routed kernels
+    (same truncated-Neumann math as solve/ic0.py:ic0_preconditioner)."""
+    def apply(r):
+        rd = dev.dinv * r
+        z = rd
+        for _ in range(m - 1):
+            z = rd - device_ell_apply(dev.t, z)
+        w = z
+        for _ in range(m - 1):
+            w = z - device_ell_apply(dev.tt, w)
+        return dev.dinv * w
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# CSR permutation (solve the system in the kernel's ordered space)
+# ---------------------------------------------------------------------------
+
+def permute_csr(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
+                order: np.ndarray):
+    """A_p[i, j] = A[order[i], order[j]] with per-row column sort.
+
+    Vectorized (no scipy CSC round-trip): gather rows via repeat/offset
+    arithmetic, map columns through the inverse permutation, lexsort
+    within rows."""
+    n = len(indptr) - 1
+    order = np.asarray(order, dtype=np.int64)
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    deg = np.diff(indptr)[order]
+    new_indptr = np.zeros(n + 1, dtype=indptr.dtype)
+    np.cumsum(deg, out=new_indptr[1:])
+    nnz = int(new_indptr[-1])
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    take = (np.repeat(indptr[:-1][order], deg)
+            + (np.arange(nnz, dtype=np.int64)
+               - np.repeat(new_indptr[:-1], deg)))
+    new_idx = inv[indices[take]]
+    new_vals = vals[take]
+    o = np.lexsort((new_idx, rows))
+    return new_indptr, new_idx[o].astype(indices.dtype), new_vals[o]

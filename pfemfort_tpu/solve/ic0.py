@@ -126,6 +126,14 @@ def build_ic0(A, pattern=None, lane_pad: int = 8) -> Optional[IC0Arrays]:
     (callers fall back to Jacobi and should say so).
     """
     indptr, indices, vals, n = _csr_from_matrix(A, pattern)
+    return build_ic0_from_csr(indptr, indices, vals, n,
+                              lane_pad=lane_pad, dtype=A.vals.dtype)
+
+
+def build_ic0_from_csr(indptr, indices, vals, n: int, lane_pad: int = 8,
+                       dtype=jnp.float32) -> Optional[IC0Arrays]:
+    """CSR-input form of `build_ic0` (lets callers factor a PERMUTED
+    system so the application shares the fast kernel's row space)."""
     lower = indices <= np.repeat(np.arange(n, dtype=np.int64),
                                  np.diff(indptr))
     li = indices[lower]
@@ -183,7 +191,7 @@ def build_ic0(A, pattern=None, lane_pad: int = 8) -> Optional[IC0Arrays]:
     t_cols, t_vals = to_ell(tr, tc, tv)
     o = np.lexsort((tr, tc))                    # transpose: sort by column
     tt_cols, tt_vals = to_ell(tc[o], tr[o], tv[o])
-    dt = A.vals.dtype
+    dt = dtype
     return IC0Arrays(
         t_cols=jnp.asarray(t_cols), t_vals=jnp.asarray(t_vals, dtype=dt),
         tt_cols=jnp.asarray(tt_cols),

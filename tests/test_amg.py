@@ -171,3 +171,29 @@ def test_distributed_amg_elasticity():
     assert (int(runs["amg"].stats.iters)
             < 0.4 * int(runs["jacobi"].stats.iters)), (
         int(runs["amg"].stats.iters), int(runs["jacobi"].stats.iters))
+
+
+def test_distributed_amg_shard_count_invariant():
+    """The sharded P^T restriction (local segment-sum + psum of the coarse
+    residual — solve/amg.py:dist_samg_preconditioner) is the SAME operator
+    at any shard count: 1-vs-8-shard solves must agree in solution and in
+    iteration count up to roundoff reassociation."""
+    from pfemfort_tpu.drivers.sharded import solve_implicit_sharded
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    mesh, dbc = _scrambled(14, seed=3)
+    res = {}
+    for ns in (1, 8):
+        dm = jax.sharding.Mesh(np.array(devs[:ns]), ("shard",))
+        r = solve_implicit_sharded(mesh, 1, dbc, POISSON, device_mesh=dm,
+                                   rtol=1e-10, recover=False,
+                                   precond="amg")
+        assert r.timings["precond_used"] == "amg"
+        assert bool(np.asarray(r.stats.converged))
+        res[ns] = r
+    assert abs(int(np.asarray(res[1].stats.iters))
+               - int(np.asarray(res[8].stats.iters))) <= 2
+    np.testing.assert_allclose(res[1].u_full, res[8].u_full,
+                               atol=5e-8, rtol=0)

@@ -320,3 +320,62 @@ def test_delaunay_mesh_distributed_ell():
     assert bool(np.asarray(res.stats.converged))
     scale = max(np.abs(ref.u_full).max(), 1.0)
     assert np.abs(res.u_full - ref.u_full).max() < 1e-8 * scale
+
+
+def test_hybrid_plans_match_halo_semantics():
+    """The per-shard HYBRID split (dist_ell.build_ell_halo_hybrid: dense
+    local diagonals -> DIA part on own x, remainder+ghosts -> slot-gather
+    over the extended vector) reproduces spmv_ell_halo's gather shard by
+    shard via the numpy reference executors."""
+    from pfemfort_tpu.parallel.dist_ell import (
+        build_ell_halo, build_ell_halo_hybrid)
+    from pfemfort_tpu.sparse.slotgather import (
+        SlotGatherPlan, apply_slotgather_reference)
+
+    S = 4
+    mesh, dbc = generate.box_tet(0, 1, 5, 0, 1, 5, 0, 1, 8)
+    perm = np.random.default_rng(11).permutation(mesh.n_node)
+    mesh = mesh.renumbered(perm.astype(np.int64))
+    dbc = dbc.copy()
+    dbc[:, 0] = perm[dbc[:, 0].astype(np.int64)]
+    setup = build_dist_ell_setup(mesh, 1, dbc, S)
+    cols_local, send_rows, wx = build_ell_halo(setup)
+    Prow = setup.sys.rows_per_shard
+    hy = build_ell_halo_hybrid(cols_local, wx, Prow)
+    assert hy is not None
+    D = len(hy["offsets"])
+    assert D >= 1          # lex-ordered shards: dense local diagonals
+    T, V, G, P_, nce = hy["dims"]
+
+    rng = np.random.default_rng(0)
+    K = setup.ell_k
+    vals = rng.standard_normal((S, Prow, K)).astype(np.float64)
+    x = rng.standard_normal((S, Prow)).astype(np.float64)
+
+    for s in range(S):
+        xg = np.zeros(nce, np.float64)
+        xg[:Prow] = x[s]
+        for o in range(S):
+            xg[Prow + o * wx: Prow + (o + 1) * wx] = x[o][send_rows[o, s]]
+        cl = cols_local[s].astype(np.int64)
+        y_ref = (vals[s] * xg[np.clip(cl, 0, nce - 1)]
+                 * (cl < nce - 1)).sum(axis=1)
+
+        # DIA part on own x
+        y = np.zeros(Prow)
+        for d, o in enumerate(hy["offsets"]):
+            src = hy["dia_src"][s, d].astype(np.int64)
+            rr = np.nonzero(src >= 0)[0]
+            y[rr] += vals[s].reshape(-1)[src[rr]] * x[s][rr + o]
+        # slot-gather remainder on the extended vector
+        plan = SlotGatherPlan(
+            n_rows=Prow, T=T, V=V, G=G,
+            qsel=hy["qsel"][s], vstart=hy["vstart"][s], rsel=hy["rsel"][s],
+            eps=hy["eps"][s], src=hy["src"][s].astype(np.int64),
+            n_cols=nce)
+        valsv = np.where(plan.src >= 0,
+                         vals[s].reshape(-1)[np.clip(plan.src, 0, None)],
+                         0.0)
+        y = y + apply_slotgather_reference(plan, valsv, xg)
+        err = np.abs(y - y_ref).max() / max(np.abs(y_ref).max(), 1e-30)
+        assert err < 1e-12, (s, err)
