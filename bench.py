@@ -1021,7 +1021,7 @@ def amg_stage(n: int, detail: dict):
     dev = build_samg_device(arrs, meta.sizes, dtype=dtype,
                             external_fine_op=True)
     t_route = time.perf_counter() - t0
-    kinds = [d.kind for d in (dev.ops[1:] + dev.p + dev.pt)]
+    kinds = [d.kind for d in (dev.ops[1:] + dev.p0 + dev.p0t)]
     a_det.update(amg_setup_s=float(t_samg), amg_route_s=float(t_route),
                  levels=list(meta.sizes),
                  routed_pallas=int(sum(k == "pallas" for k in kinds)),

@@ -345,7 +345,14 @@ def solve_implicit_sharded(
             if built is None:
                 precond = "jacobi"
             else:
-                amg = built
+                # route the replicated algebraic tail's blocks through the
+                # device kernels (hybrid/slot-gather/dense; XLA on CPU)
+                from pfemfort_tpu.solve.amg_device import build_samg_device
+
+                dist_amg, metas = built
+                tail_dev = build_samg_device(dist_amg.tail,
+                                             metas[1].sizes, dtype=dtype)
+                amg = (dist_amg, metas, tail_dev)
         ic0_blocks = None
         if precond == "ic0":
             # PC=BJACOBI with a per-shard IC(0) sub-factorization — the

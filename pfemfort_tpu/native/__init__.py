@@ -168,12 +168,18 @@ def ell_pattern(elem_dof: np.ndarray, n_rows: int, lane_pad: int = 8):
             int(k_out.value), int(nnz))
 
 
+OVER_CAP = "sg_plan_over_v_cap"
+
+
 def sg_plan(cols_sorted: np.ndarray, src_of_slot: np.ndarray, n_cols: int,
-            sub: int):
+            sub: int, v_cap=None):
     """Slot-gather staging plan from the permuted, per-row-sorted ELL
     columns (sparse/slotgather.py routes here; numpy fallback there).
 
-    Returns (qsel, vstart, rsel, eps, src) or None when unavailable."""
+    Returns (qsel, vstart, rsel, eps, src), None when unavailable, or
+    OVER_CAP when `v_cap` is given and the plan's V exceeds it — checked
+    BEFORE allocating the (T, V, 128) planes (a dense-ish block can imply
+    gigabytes of 98%-empty planes; callers probe cheaply this way)."""
     lib = load()
     if lib is None or not hasattr(lib, "pfem_sg_build"):
         return None
@@ -185,6 +191,9 @@ def sg_plan(cols_sorted: np.ndarray, src_of_slot: np.ndarray, n_cols: int,
                           N, K, n_cols, sub, _ptr(tvg, ctypes.c_int64))
     if not h:
         return None
+    if v_cap is not None and int(tvg[1]) > v_cap:
+        lib.pfem_sg_free(h)
+        return OVER_CAP
     try:
         T, V, G = (int(v) for v in tvg)
         qsel = np.zeros((T, G), dtype=np.int32)

@@ -286,14 +286,13 @@ def distributed_cg_solve_ell(
     amg_sharded = ()
     amg_repl = None
     amg_metas = None
+    amg_om0 = None
     if amg is not None:
-        dist_amg, amg_metas = amg
-        amg_sharded = (dist_amg.p_cols_s,
-                       dist_amg.p_vals_s.astype(vals.dtype))
-        amg_repl = jax.tree.map(
-            lambda a: (a.astype(vals.dtype)
-                       if a.dtype in (jnp.float32, jnp.float64)
-                       else a), dist_amg.tail)
+        dist_amg, amg_metas, tail_dev = amg
+        amg_om0 = dist_amg.om0
+        amg_sharded = (dist_amg.p0_cols_s,
+                       dist_amg.p0_vals_s.astype(vals.dtype))
+        amg_repl = tail_dev          # device-routed tail (already dtype'd)
     n_sg = len(sg_arrays)
     n_ic = len(ic_arrays)
 
@@ -340,11 +339,11 @@ def distributed_cg_solve_ell(
         if amg_metas is not None:
             from pfemfort_tpu.solve.amg import dist_samg_preconditioner
             pc_l, pv_l = (a[0] for a in amg_l[:2])
-            tail = amg_l[2]
+            tail_d = amg_l[2]
             d = local_diag()
             inv_d = jnp.where(d != 0, 1.0 / d, 0.0)
             precond = dist_samg_preconditioner(
-                pc_l, pv_l, tail, amg_metas, inv_d,
+                pc_l, pv_l, amg_om0, tail_d, amg_metas, inv_d,
                 operator, axis)
         elif ic_l:
             from pfemfort_tpu.solve.ic0 import ic0_block_apply

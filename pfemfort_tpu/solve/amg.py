@@ -181,13 +181,26 @@ def _csr_to_ell(S, lane_pad: int = 8):
 
 
 class SAMGArrays(NamedTuple):
-    """Per-level device data (pytree; pass INTO jit)."""
+    """Per-level device data (pytree; pass INTO jit).
+
+    The SMOOTHED prolongator P = (I - omega D^-1 A) P0 is stored two
+    ways: directly (p/pt ELLs — the portable V-cycle's form) and FACTORED
+    (p0/p0t tentative ELLs + omega) so device cycles can apply the
+    smoothing factor through the level operator's fast kernel and route
+    only the skinny 1-nonzero-per-fine-row tentative blocks — the
+    smoothed P^T has ring-of-A-wide rows that pack terribly into any
+    gather plan (measured 2%-dense slot-gather planes at 857k)."""
     a_cols: Tuple[jax.Array, ...]     # level operators, padded ELL
     a_vals: Tuple[jax.Array, ...]
     p_cols: Tuple[jax.Array, ...]     # prolongators fine->coarse, ELL
     p_vals: Tuple[jax.Array, ...]
     pt_cols: Tuple[jax.Array, ...]    # restrictions (P^T), ELL
     pt_vals: Tuple[jax.Array, ...]
+    p0_cols: Tuple[jax.Array, ...]    # TENTATIVE prolongators P0, ELL
+    p0_vals: Tuple[jax.Array, ...]
+    p0t_cols: Tuple[jax.Array, ...]   # P0^T, ELL
+    p0t_vals: Tuple[jax.Array, ...]
+    omegas: Tuple[float, ...]         # per-level smoothing weight omega_p
     inv_diags: Tuple[jax.Array, ...]
     coarse_inv: jax.Array             # dense inverse of the coarsest level
 
@@ -206,6 +219,8 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                omega_smooth: Optional[float] = None,
                node_block: int = 1,
                nullspace: Optional[np.ndarray] = None,
+               min_coarsen_ratio: float = 1.5,
+               filter_tol: float = 0.02,
                dtype=jnp.float32) -> Optional[Tuple[SAMGArrays, SAMGMeta]]:
     """Build the hierarchy from a host CSR of the (reduced, SPD) system.
 
@@ -235,6 +250,7 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         assert B_ns.shape[0] == n
     levels_a: List = [A]
     levels_p: List = []
+    levels_p0: List = []
     sizes = [n]
     while sizes[-1] > coarsest_max and len(sizes) < max_levels:
         Al = levels_a[-1].tocsr()
@@ -265,7 +281,7 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                 _, na_p = _aggregate(Sp.indptr,
                                      Sp.indices.astype(np.int64),
                                      nl // nbl)
-                if na_p < nl // nbl:
+                if na_p * min_coarsen_ratio <= nl // nbl:
                     made_progress = True
                     break
             else:
@@ -274,7 +290,7 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                      (rows[keep], cols[keep])), shape=(nl, nl))
                 _, na_p = _aggregate(Sp.indptr,
                                      Sp.indices.astype(np.int64), nl)
-                if na_p < nl:
+                if na_p * min_coarsen_ratio <= nl:
                     made_progress = True
                     break
         if not made_progress:
@@ -290,7 +306,12 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
             agg_n, n_agg_n = _aggregate(S.indptr,
                                         S.indices.astype(np.int64),
                                         nl // nbl)
-            if n_agg_n >= nl // nbl:
+            # STALL GUARD: near-singleton aggregation densifies every
+            # deeper Galerkin operator geometrically (measured: 20
+            # csr_matmat calls = 222 s of a 237 s hierarchy build at 103k
+            # rows, VERDICT r4 weak #8) — stop and let the dense coarsest
+            # inverse absorb this level instead
+            if n_agg_n * min_coarsen_ratio > nl // nbl:
                 break
             r_all = np.arange(nl, dtype=np.int64)
             if B_ns is not None:
@@ -312,7 +333,7 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                                 (rows[keep], cols[keep])), shape=(nl, nl))
             agg, n_agg = _aggregate(S.indptr, S.indices.astype(np.int64),
                                     nl)
-            if n_agg >= nl:        # no coarsening progress: stop here
+            if n_agg * min_coarsen_ratio > nl:   # stall guard (see above)
                 break
             # tentative piecewise-constant prolongator
             P0 = ssp.csr_matrix(
@@ -325,7 +346,32 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         P = (P0 - omega_p * (Dinv @ (Al @ P0))).tocsr()
         Ac = (P.T @ Al @ P).tocsr()
         Ac.sum_duplicates()
+        if filter_tol > 0:
+            # Galerkin operator filtering (the PETSc-GAMG/hypre truncation
+            # idea): smoothing densifies coarse operators geometrically —
+            # measured 624 nnz/row at level 2 of the 857k flagship, which
+            # wrecks both the next products and any gather plan.  Drop
+            # |a_ij| < tol*sqrt(a_ii a_jj) off-diagonals and LUMP them
+            # into the diagonal (preserves row sums, hence the action on
+            # the near-nullspace; keeps SPD at these tolerances).
+            dA = np.asarray(Ac.diagonal(), dtype=np.float64)
+            ds = np.sqrt(np.abs(np.where(dA != 0, dA, 1.0)))
+            rw = np.repeat(np.arange(Ac.shape[0], dtype=np.int64),
+                           np.diff(Ac.indptr))
+            cw = Ac.indices.astype(np.int64)
+            av = np.asarray(Ac.data, dtype=np.float64)
+            drop = ((np.abs(av) < filter_tol * ds[rw] * ds[cw])
+                    & (rw != cw))
+            if drop.any():
+                lump = np.zeros(Ac.shape[0], dtype=np.float64)
+                np.add.at(lump, rw[drop], av[drop])
+                keep = ~drop
+                Ac = ssp.csr_matrix(
+                    (av[keep], (rw[keep], cw[keep])), shape=Ac.shape)
+                Ac = (Ac + ssp.diags(lump)).tocsr()
+                Ac.sum_duplicates()
         levels_p.append(P)
+        levels_p0.append((P0.tocsr(), omega_p))
         levels_a.append(Ac)
         sizes.append(n_agg)
 
@@ -337,6 +383,7 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
 
     a_cols, a_vals, p_cols, p_vals, pt_cols, pt_vals, inv_d = \
         [], [], [], [], [], [], []
+    p0_cols, p0_vals, p0t_cols, p0t_vals, omegas = [], [], [], [], []
     for li, Al in enumerate(levels_a):
         c, v = _csr_to_ell(Al)
         a_cols.append(jnp.asarray(c))
@@ -352,6 +399,14 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         ct, vt = _csr_to_ell(P.T.tocsr())
         pt_cols.append(jnp.asarray(ct))
         pt_vals.append(jnp.asarray(vt, dtype=dtype))
+    for P0, om_p in levels_p0:
+        c, v = _csr_to_ell(P0)
+        p0_cols.append(jnp.asarray(c))
+        p0_vals.append(jnp.asarray(v, dtype=dtype))
+        ct, vt = _csr_to_ell(P0.T.tocsr())
+        p0t_cols.append(jnp.asarray(ct))
+        p0t_vals.append(jnp.asarray(vt, dtype=dtype))
+        omegas.append(float(om_p))
     Ad = np.asarray(levels_a[-1].toarray(), dtype=np.float64)
     dz = np.abs(np.diag(Ad)) < 1e-290       # padding/empty aggregates
     if dz.any():
@@ -364,6 +419,9 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         a_cols=tuple(a_cols), a_vals=tuple(a_vals),
         p_cols=tuple(p_cols), p_vals=tuple(p_vals),
         pt_cols=tuple(pt_cols), pt_vals=tuple(pt_vals),
+        p0_cols=tuple(p0_cols), p0_vals=tuple(p0_vals),
+        p0t_cols=tuple(p0t_cols), p0t_vals=tuple(p0t_vals),
+        omegas=tuple(omegas),
         inv_diags=tuple(inv_d), coarse_inv=coarse_inv)
     meta = SAMGMeta(sizes=tuple(sizes), nu=nu, omega_smooth=omega_smooth)
     return arrays, meta
@@ -414,18 +472,21 @@ class DistSAMG(NamedTuple):
     """Fine level split per shard; levels 1+ replicated (pytree).
 
     The fine operator itself is NOT here — the distributed CG already has
-    it (the per-shard ELL + pairwise ghost exchange); only the prolongator
-    rows are row-split.  The restriction uses the SAME row blocks: shard s
-    computes its own contribution P_s^T r_s as one segment-sum over its
-    prolongator rows' coarse columns, and ONE psum of the O(N_coarse)
-    coarse residual replicates it — O(N/coarsening) ICI traffic per
-    application instead of the previous all_gather of the FULL fine
+    it (the per-shard ELL + pairwise ghost exchange).  Transfers are
+    FACTORED (see SAMGArrays): only the skinny TENTATIVE prolongator row
+    blocks are stored, and the smoothing factor (I - om0 D^-1 A) is
+    applied through the distributed CG's own fine halo SpMV.
+    Restriction: shard s computes P0_s^T of its smoothed residual as one
+    segment-sum over its tentative rows' coarse columns, and ONE psum of
+    the O(N_coarse) coarse residual replicates it — O(N/coarsening) ICI
+    traffic per application instead of an all_gather of the FULL fine
     residual (VERDICT r4 weak #3).  The tail runs redundantly on every
-    shard (sizes shrink ~20x per level — the replicated-coarse pattern of
-    parallel/dist_mg.py, but algebraic)."""
-    p_cols_s: jax.Array            # (S, P, Kp) fine prolongator row blocks
-    p_vals_s: jax.Array
-    tail: SAMGArrays               # hierarchy from level 1 down
+    shard (the replicated-coarse pattern of parallel/dist_mg.py, but
+    algebraic) through device-routed kernels (solve/amg_device.py)."""
+    p0_cols_s: jax.Array          # (S, P, K0) tentative row blocks
+    p0_vals_s: jax.Array
+    om0: float                    # level-0 prolongator smoothing weight
+    tail: SAMGArrays              # hierarchy from level 1 down
 
 
 def build_dist_samg(indptr, indices, vals, n_rows_padded: int,
@@ -453,51 +514,60 @@ def build_dist_samg(indptr, indices, vals, n_rows_padded: int,
     if len(arrs.a_cols) < 2:
         return None
     P_rows = n_rows_padded // n_shards
-    p_cols = np.asarray(arrs.p_cols[0])
-    p_vals = np.asarray(arrs.p_vals[0])
+    p_cols = np.asarray(arrs.p0_cols[0])
+    p_vals = np.asarray(arrs.p0_vals[0])
     p_cols_s = p_cols.reshape(n_shards, P_rows, -1)
     p_vals_s = p_vals.reshape(n_shards, P_rows, -1)
     tail = SAMGArrays(
         a_cols=arrs.a_cols[1:], a_vals=arrs.a_vals[1:],
         p_cols=arrs.p_cols[1:], p_vals=arrs.p_vals[1:],
         pt_cols=arrs.pt_cols[1:], pt_vals=arrs.pt_vals[1:],
+        p0_cols=arrs.p0_cols[1:], p0_vals=arrs.p0_vals[1:],
+        p0t_cols=arrs.p0t_cols[1:], p0t_vals=arrs.p0t_vals[1:],
+        omegas=arrs.omegas[1:],
         inv_diags=arrs.inv_diags[1:], coarse_inv=arrs.coarse_inv)
     dist = DistSAMG(
-        p_cols_s=jnp.asarray(p_cols_s), p_vals_s=jnp.asarray(p_vals_s),
-        tail=tail)
+        p0_cols_s=jnp.asarray(p_cols_s), p0_vals_s=jnp.asarray(p_vals_s),
+        om0=float(arrs.omegas[0]), tail=tail)
     tail_meta = SAMGMeta(sizes=meta.sizes[1:], nu=meta.nu,
                          omega_smooth=meta.omega_smooth)
     return dist, (meta, tail_meta)
 
 
-def dist_samg_preconditioner(p_cols_l, p_vals_l,
-                             tail: SAMGArrays, metas, inv_diag_l,
-                             spmv_l: Callable, axis: str) -> Callable:
+def dist_samg_preconditioner(p0_cols_l, p0_vals_l, om0, tail_dev, metas,
+                             inv_diag_l, spmv_l: Callable,
+                             axis: str) -> Callable:
     """r_l -> M^-1 r_l inside shard_map.  `spmv_l`: the shard-local fine
-    operator (the distributed CG's own halo SpMV); `p_cols_l/p_vals_l`:
-    THIS shard's prolongator row block (serves BOTH transfer directions);
-    tail replicated.  Build OUTSIDE the CG loop.
+    operator (the distributed CG's own halo SpMV); `p0_cols_l/p0_vals_l`:
+    THIS shard's TENTATIVE prolongator row block (serves both transfer
+    directions); `tail_dev`: the replicated device-routed tail
+    (solve/amg_device.py:SAMGDevice).  Build OUTSIDE the CG loop.
 
-    Restriction: rc = sum_shards P_s^T rf_s — a local segment-sum over the
-    shard's prolongator columns + one psum of the O(N_coarse) vector (the
-    coarse space is ~20x smaller than the fine), replacing the old
-    all_gather of the full fine residual."""
+    Factored transfers:  P^T rf = P0^T (I - om0 A D^-1) rf  as one extra
+    halo SpMV + a K0-wide local segment-sum + one psum of the O(N_coarse)
+    vector;  P ec = (I - om0 D^-1 A)(P0 ec)  as a K0-wide local gather +
+    one halo SpMV.  Comms per application: 2*(nu+1) halo exchanges + one
+    O(N_coarse) psum — no all_gather of the fine vector anywhere."""
     meta, tail_meta = metas
     om = meta.omega_smooth
     n_coarse = int(tail_meta.sizes[0])
 
     def precond(r_l):
+        from pfemfort_tpu.solve.amg_device import _vcycle_device
+
         e = om * inv_diag_l * r_l
         for _ in range(meta.nu - 1):
             e = e + om * inv_diag_l * (r_l - spmv_l(e))
-        rf_l = r_l - spmv_l(e)
+        rf = r_l - spmv_l(e)
+        rf2 = rf - om0 * spmv_l(inv_diag_l * rf)
         contrib = jax.ops.segment_sum(
-            (p_vals_l * rf_l[:, None]).reshape(-1),
-            jnp.clip(p_cols_l, 0, n_coarse).reshape(-1),
+            (p0_vals_l * rf2[:, None]).reshape(-1),
+            jnp.clip(p0_cols_l, 0, n_coarse).reshape(-1),
             num_segments=n_coarse + 1)[:n_coarse]
         rc = jax.lax.psum(contrib, axis)
-        ec = _vcycle(tail, tail_meta, 0, rc)
-        e = e + _ell_mv(p_cols_l, p_vals_l, ec)
+        ec = _vcycle_device(tail_dev, tail_meta, 0, rc, None)
+        pe = _ell_mv(p0_cols_l, p0_vals_l, ec)
+        e = e + pe - om0 * inv_diag_l * spmv_l(pe)
         for _ in range(meta.nu):
             e = e + om * inv_diag_l * (r_l - spmv_l(e))
         return e

@@ -47,6 +47,9 @@ class DeviceEll:
 
     kind == "pallas": dia_packed (PallasDIA | None) + sg/sg_vals
     (remainder or rectangular plan; either part may be absent).
+    kind == "dense": vals is the dense (n_rows, n_cols) matrix — small
+    deep-hierarchy blocks are nearly dense anyway, and one HIGHEST-
+    precision MXU matvec beats any gather form at these sizes.
     kind == "xla": cols/vals gather fallback (CPU tests, oversize blocks).
     """
     dia_packed: Optional[object]          # PallasDIA pytree
@@ -82,10 +85,20 @@ def build_device_ell(cols: np.ndarray, vals: np.ndarray, n_cols: int,
         return _xla_ell(cols, vals, n_cols, dtype)
     sub = 32 if n >= (1 << 19) else 8
     if n == n_cols:
-        plan = hyb.build_hybrid_plan(cols.astype(np.int64), n,
-                                     order=None, sub=sub)
-        if hyb.hybrid_supported(plan) and (
-                plan.sg is None or plan.sg.V <= v_cap):
+        # Adaptive extraction: deep Galerkin operators are dense-ish and
+        # weakly banded — at small n, extra DIA diagonals are nearly free
+        # (one n-float stream each) while a remainder over the V cap
+        # would fall back to the 1000x-slower scalar-core gather
+        # (measured: the 38k^2 level-2 op at 245 ms/apply ate the whole
+        # V-cycle).  Lower the fill threshold until the remainder fits;
+        # the v_cap probe aborts before allocating any oversized planes.
+        for thr, md in ((0.2, 48), (0.05, 160), (0.015, 384)):
+            plan = hyb.build_hybrid_plan(cols.astype(np.int64), n,
+                                         order=None, sub=sub,
+                                         fill_threshold=thr, max_d=md,
+                                         sg_v_cap=v_cap)
+            if plan is None or not hyb.hybrid_supported(plan):
+                continue
             Ph = hyb.prepare_hybrid(plan)
             dia_packed, sgv = hyb.hybrid_pack(
                 Ph, jnp.asarray(vals, dtype=dtype))
@@ -95,13 +108,22 @@ def build_device_ell(cols: np.ndarray, vals: np.ndarray, n_cols: int,
     elif n_cols <= sg_col_cap:
         plan = sgm.build_slotgather_plan(cols.astype(np.int64), n,
                                          order=None, sub=sub,
-                                         n_cols=n_cols)
-        if plan.V <= v_cap and plan.src.max(initial=0) < 2 ** 31:
+                                         n_cols=n_cols, v_cap=v_cap)
+        if plan is not None and plan.src.max(initial=0) < 2 ** 31:
             P = sgm.prepare_slotgather(plan)
             sgv = sgm.pack_values(P, jnp.asarray(vals, dtype=dtype))
             return DeviceEll(dia_packed=None, sg=P, sg_vals=sgv,
                              cols=None, vals=None, kind="pallas",
                              n_rows=int(n), n_cols=int(n_cols))
+    if n * n_cols <= 24_000_000:
+        dense = np.zeros((n, n_cols), dtype=np.float64)
+        rr = np.repeat(np.arange(n), cols.shape[1])
+        cc = cols.reshape(-1)
+        ok = cc < n_cols
+        np.add.at(dense, (rr[ok], cc[ok]), vals.reshape(-1)[ok])
+        return DeviceEll(dia_packed=None, sg=None, sg_vals=None,
+                         cols=None, vals=jnp.asarray(dense, dtype=dtype),
+                         kind="dense", n_rows=int(n), n_cols=int(n_cols))
     return _xla_ell(cols, vals, n_cols, dtype)
 
 
@@ -110,6 +132,8 @@ def device_ell_apply(d: DeviceEll, x: jnp.ndarray) -> jnp.ndarray:
     from pfemfort_tpu.sparse.pallas_spmv import apply_dia_pallas
     from pfemfort_tpu.sparse.slotgather import apply_slotgather
 
+    if d.kind == "dense":
+        return jnp.dot(d.vals, x, precision=jax.lax.Precision.HIGHEST)
     if d.kind == "xla":
         xp = jnp.concatenate([x, jnp.zeros((1,), dtype=x.dtype)])
         return jnp.sum(d.vals * xp[jnp.clip(d.cols, 0, x.shape[0])],
@@ -130,12 +154,24 @@ def device_ell_apply(d: DeviceEll, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 class SAMGDevice(NamedTuple):
-    """Per-level routed blocks (pytree; pass INTO jit as an argument)."""
+    """Per-level routed blocks (pytree; pass INTO jit as an argument).
+
+    Transfers are stored FACTORED: only the tentative P0 / P0^T blocks
+    (1 nonzero per fine row per near-nullspace mode — skinny, gather-plan
+    friendly) plus the per-level smoothing weight.  The smoothing factor
+    (I - omega D^-1 A) is applied through the level operator's own routed
+    kernel:  P ec = (I - om D^-1 A)(P0 ec)  and  P^T rf = P0^T (I -
+    om A D^-1) rf (A symmetric).  The SMOOTHED P^T's ring-of-A-wide rows
+    packed at ~2% density into slot-gather planes (1.8 GB of index
+    planes, 200+ s to build and ship at 857k rows); the factored form
+    costs one extra fine SpMV per transfer on a kernel that already runs
+    at memory bandwidth."""
     ops: Tuple[Optional[DeviceEll], ...]   # level operators; ops[0] may be
     #                                        None when the caller supplies
     #                                        the fine operator (spmv0)
-    p: Tuple[DeviceEll, ...]
-    pt: Tuple[DeviceEll, ...]
+    p0: Tuple[DeviceEll, ...]
+    p0t: Tuple[DeviceEll, ...]
+    omegas: Tuple[float, ...]
     inv_diags: Tuple[jax.Array, ...]
     coarse_inv: jax.Array
 
@@ -157,17 +193,18 @@ def build_samg_device(arrs: SAMGArrays, sizes: Tuple[int, ...],
                                     n_cols=int(np.asarray(
                                         arrs.a_cols[li]).shape[0]),
                                     dtype=dtype))
-    p, pt = [], []
+    p0, p0t = [], []
     for li in range(nlev - 1):
-        n_f = int(np.asarray(arrs.p_cols[li]).shape[0])
-        n_c = int(np.asarray(arrs.pt_cols[li]).shape[0])
-        p.append(build_device_ell(np.asarray(arrs.p_cols[li]),
-                                  np.asarray(arrs.p_vals[li]),
-                                  n_cols=n_c, dtype=dtype))
-        pt.append(build_device_ell(np.asarray(arrs.pt_cols[li]),
-                                   np.asarray(arrs.pt_vals[li]),
-                                   n_cols=n_f, dtype=dtype))
-    return SAMGDevice(ops=tuple(ops), p=tuple(p), pt=tuple(pt),
+        n_f = int(np.asarray(arrs.p0_cols[li]).shape[0])
+        n_c = int(np.asarray(arrs.p0t_cols[li]).shape[0])
+        p0.append(build_device_ell(np.asarray(arrs.p0_cols[li]),
+                                   np.asarray(arrs.p0_vals[li]),
+                                   n_cols=n_c, dtype=dtype))
+        p0t.append(build_device_ell(np.asarray(arrs.p0t_cols[li]),
+                                    np.asarray(arrs.p0t_vals[li]),
+                                    n_cols=n_f, dtype=dtype))
+    return SAMGDevice(ops=tuple(ops), p0=tuple(p0), p0t=tuple(p0t),
+                      omegas=tuple(arrs.omegas),
                       inv_diags=tuple(jnp.asarray(d, dtype=dtype)
                                       for d in arrs.inv_diags),
                       coarse_inv=jnp.asarray(arrs.coarse_inv, dtype=dtype))
@@ -180,6 +217,7 @@ def _vcycle_device(dev: SAMGDevice, meta: SAMGMeta, level: int,
         return dev.coarse_inv @ r
     Dinv = dev.inv_diags[level]
     om = meta.omega_smooth
+    om_p = dev.omegas[level]
     if level == 0 and spmv0 is not None:
         spmv = spmv0
     else:
@@ -189,9 +227,13 @@ def _vcycle_device(dev: SAMGDevice, meta: SAMGMeta, level: int,
     e = om * Dinv * r
     for _ in range(meta.nu - 1):
         e = e + om * Dinv * (r - spmv(e))
-    rc = device_ell_apply(dev.pt[level], r - spmv(e))
+    # factored restriction: rc = P0^T (I - om_p A D^-1) rf
+    rf = r - spmv(e)
+    rc = device_ell_apply(dev.p0t[level], rf - om_p * spmv(Dinv * rf))
     ec = _vcycle_device(dev, meta, level + 1, rc, None)
-    e = e + device_ell_apply(dev.p[level], ec)
+    # factored prolongation: e += (I - om_p D^-1 A) (P0 ec)
+    pe = device_ell_apply(dev.p0[level], ec)
+    e = e + pe - om_p * Dinv * spmv(pe)
     for _ in range(meta.nu):
         e = e + om * Dinv * (r - spmv(e))
     return e

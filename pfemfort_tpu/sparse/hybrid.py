@@ -79,7 +79,9 @@ def build_hybrid_plan(ell_cols: np.ndarray, n_rows: int,
                       order: Optional[np.ndarray] = None,
                       fill_threshold: float = 0.2,
                       max_d: int = 48,
-                      sub: int = 32) -> HybridPlan:
+                      sub: int = 32,
+                      sg_v_cap: Optional[int] = None
+                      ) -> Optional[HybridPlan]:
     """Split the (ordered) pattern by per-diagonal fill.
 
     `fill_threshold`: minimum fraction of rows a diagonal must populate to
@@ -106,7 +108,10 @@ def build_hybrid_plan(ell_cols: np.ndarray, n_rows: int,
     D = len(offsets)
 
     if D == 0:
-        plan = build_slotgather_plan(ell_cols, n_rows, order=order, sub=sub)
+        plan = build_slotgather_plan(ell_cols, n_rows, order=order,
+                                     sub=sub, v_cap=sg_v_cap)
+        if plan is None:          # remainder over the caller's V budget
+            return None
         return HybridPlan(n_rows=n_rows, offsets=(),
                           dia_src=np.zeros((0, n_rows), np.int64),
                           sg=plan, order=order, inv_order=plan.inv_order,
@@ -135,7 +140,9 @@ def build_hybrid_plan(ell_cols: np.ndarray, n_rows: int,
         rem_cols[rws, w] = cols[rem]
         rem_src[rws, w] = src_of_slot[rem]
         sg_plan = build_slotgather_plan(rem_cols, n_rows, order=None,
-                                        sub=sub)
+                                        sub=sub, v_cap=sg_v_cap)
+        if sg_plan is None:       # remainder over the caller's V budget
+            return None
         # compose: sg src indexes the compacted remainder block; remap to
         # the caller's (N, K) value array so ONE pack serves both parts
         ok = sg_plan.src >= 0

@@ -159,7 +159,9 @@ def permuted_sorted_cols(ell_cols: np.ndarray, n_rows: int,
 def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
                           order: Optional[np.ndarray] = None,
                           sub: int = 32,
-                          n_cols: Optional[int] = None) -> SlotGatherPlan:
+                          n_cols: Optional[int] = None,
+                          v_cap: Optional[int] = None
+                          ) -> Optional[SlotGatherPlan]:
     """Build the plan from padded-ELL columns (sentinel >= n_cols).
 
     `order`: optional bandwidth-reducing row permutation (new-from-old, as
@@ -174,6 +176,10 @@ def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
     `sub`: row tiles per Pallas grid step.  32 amortizes per-step overhead
     (measured 275 vs 201 GB/s against sub=8 at 1M rows); small shard-local
     blocks use 8 to bound tile padding.
+
+    `v_cap`: when given, return None as soon as the plan's virtual-row
+    count exceeds it — BEFORE the (T, V, 128) planes are allocated (a
+    dense-ish block can imply gigabytes of near-empty planes).
     """
     N, K = ell_cols.shape
     if n_cols is None:
@@ -188,7 +194,9 @@ def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
     try:
         from pfemfort_tpu import native as _native
 
-        nat = _native.sg_plan(cols, src_of_slot, n_cols, sub)
+        nat = _native.sg_plan(cols, src_of_slot, n_cols, sub, v_cap=v_cap)
+        if isinstance(nat, str) and nat == _native.OVER_CAP:
+            return None
     except Exception:
         nat = None
     if nat is not None:
@@ -238,6 +246,8 @@ def build_slotgather_plan(ell_cols: np.ndarray, n_rows: int,
     nv = np.zeros(T, dtype=np.int64)
     np.maximum.at(nv, ts, vloc + 1)
     V = int(-(-max(int(nv.max(initial=1)), 1) // 8) * 8)
+    if v_cap is not None and V > v_cap:
+        return None
 
     epsA = np.zeros((T, V, LANES), dtype=np.int32)
     srcA = np.full((T, V, LANES), -1, dtype=np.int64)

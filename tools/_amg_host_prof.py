@@ -42,4 +42,4 @@ import pfemfort_tpu.sparse.ops as ops
 ops.pallas_enabled = lambda: True     # force plan building on CPU for timing
 t0=time.perf_counter()
 dev = build_samg_device(arrs, meta.sizes, dtype=jnp.float32, external_fine_op=True)
-print(f"build_samg_device {time.perf_counter()-t0:.1f}s kinds={[d.kind for d in dev.p + dev.pt]}", flush=True)
+print(f"build_samg_device {time.perf_counter()-t0:.1f}s kinds={[d.kind for d in dev.p0 + dev.p0t]}", flush=True)
