@@ -1372,7 +1372,7 @@ def main():
         ("large", 320.0, lambda: large_stage(n_large, detail)),
         ("unstructured", 220.0, lambda: unstructured_stage(max(n, 16),
                                                            detail)),
-        ("amg", 200.0, lambda: amg_stage(max(n, 16), detail)),
+        ("amg", 220.0, lambda: amg_stage(max(n, 16), detail)),
         ("large_unstructured", 280.0,
          lambda: large_unstructured_stage(n_large_unstr, detail)),
         ("dist_spmv", 100.0, lambda: dist_spmv_stage(n, detail)),

@@ -27,13 +27,15 @@ smoothed-aggregation construction (Vanek/Mandel/Brezina):
 All level arrays are a pytree passed INTO jit as arguments (tens of MB of
 constants would re-ship with every remote compile, memory: HTTP 413).
 
-TPU cost honesty: the V-cycle's P/P^T and level-operator products are
-plain ELL gathers, which XLA lowers to the scalar core (~1 GB/s).  On the
-DISTRIBUTED path the fine-level smoothing runs through the branch's own
-halo operator (slot-gather Pallas on TPU), so only the O(N/8) tail pays
-the scalar-gather rate; routing the tail through per-level slot-gather
-plans is the known next optimization.  Iteration-count reduction (O(n) ->
-~constant) is the load-bearing property and is what the tests pin.
+TPU execution: this module's portable V-cycle uses plain ELL gathers (the
+CPU test suite's form); production TPU solves route every level operator
+and transfer through solve/amg_device.py (hybrid DIA+slot-gather /
+rectangular slot-gather / MXU-dense blocks, with FACTORED transfers — see
+SAMGArrays).  Three scale findings are baked into the construction:
+aggressive (double) aggregation on the finest level, Galerkin filtering
+with diagonal lumping from level 2 down, and a coarsening stall guard —
+each fixing a measured pathology at the 857k-row flagship (docstrings at
+the respective code).
 """
 
 from __future__ import annotations
@@ -51,6 +53,30 @@ from pfemfort_tpu.sparse.formats import round_up
 # ---------------------------------------------------------------------------
 # host-side setup
 # ---------------------------------------------------------------------------
+
+def _aggregate2(S_indptr, S_indices, n: int) -> Tuple[np.ndarray, int]:
+    """Double (pairwise-composite) aggregation: aggregate the strength
+    graph, then aggregate the AGGREGATE graph and compose — radius-2
+    aggregates with ~8x the single-pass coarsening ratio and no S^2
+    product (the PETSc-GAMG 'aggressive coarsening on the finest level'
+    idea, done AGMG-style).  Shrinks the first coarse operator ~8x, which
+    is where hierarchy build, device routing, and plane memory all
+    concentrate."""
+    import scipy.sparse as ssp
+
+    agg_a, na_a = _aggregate(S_indptr, S_indices, n)
+    rows = np.repeat(np.arange(n, dtype=np.int64),
+                     np.diff(S_indptr))
+    ra = agg_a[rows]
+    ca = agg_a[S_indices]
+    off = ra != ca
+    Sagg = ssp.csr_matrix(
+        (np.ones(int(off.sum()), np.float32), (ra[off], ca[off])),
+        shape=(na_a, na_a))
+    agg_b, na_b = _aggregate(Sagg.indptr, Sagg.indices.astype(np.int64),
+                             na_a)
+    return agg_b[agg_a], na_b
+
 
 def _aggregate(S_indptr, S_indices, n: int) -> Tuple[np.ndarray, int]:
     """Greedy root aggregation over the strength graph (node granularity).
@@ -220,7 +246,9 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                node_block: int = 1,
                nullspace: Optional[np.ndarray] = None,
                min_coarsen_ratio: float = 1.5,
-               filter_tol: float = 0.02,
+               filter_tol: float = 0.01,
+               filter_from_level: int = 2,
+               aggressive_levels: int = 0,
                dtype=jnp.float32) -> Optional[Tuple[SAMGArrays, SAMGMeta]]:
     """Build the hierarchy from a host CSR of the (reduced, SPD) system.
 
@@ -242,6 +270,11 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
     if omega_smooth is None:
         omega_smooth = 0.7 if ndof == 1 else 0.6
 
+    # size-adaptive coarsest: every extra level adds fixed V-cycle latency
+    # (its applies cost kernel overhead, not bandwidth, at a few thousand
+    # rows), while the dense coarsest inverse is nearly free to apply —
+    # stop sooner on big problems (cap respects the 8192 dense guard)
+    coarsest_max = min(max(coarsest_max, n // 200), 6000)
     A = ssp.csr_matrix((vals, indices, indptr), shape=(n, n))
     nb = node_block if (node_block > 1 and n % node_block == 0) else 1
     B_ns = None
@@ -262,6 +295,11 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         cols = Al.indices.astype(np.int64)
         av = np.abs(np.asarray(Al.data, dtype=np.float64))
         nbl = nb if (nb > 1 and nl % nb == 0) else 1
+        # aggressive (double) aggregation on the finest level(s):
+        # ~8x deeper first coarsening, concentrating where routing
+        # and Galerkin cost live (PETSc-GAMG default behavior)
+        aggf = (_aggregate2 if len(sizes) <= aggressive_levels
+                else _aggregate)
         # theta backoff: Galerkin densification makes deep coarse operators
         # diagonally dominant — a fixed strength threshold can leave the
         # graph EMPTY (every node becomes its own aggregate = no progress);
@@ -278,7 +316,7 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                     (np.ones(int(off_p.sum()), np.float32),
                      (rb_p[off_p], cb_p[off_p])),
                     shape=(nl // nbl, nl // nbl))
-                _, na_p = _aggregate(Sp.indptr,
+                _, na_p = aggf(Sp.indptr,
                                      Sp.indices.astype(np.int64),
                                      nl // nbl)
                 if na_p * min_coarsen_ratio <= nl // nbl:
@@ -288,7 +326,7 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
                 Sp = ssp.csr_matrix(
                     (np.ones(int(keep.sum()), np.float32),
                      (rows[keep], cols[keep])), shape=(nl, nl))
-                _, na_p = _aggregate(Sp.indptr,
+                _, na_p = aggf(Sp.indptr,
                                      Sp.indices.astype(np.int64), nl)
                 if na_p * min_coarsen_ratio <= nl:
                     made_progress = True
@@ -303,7 +341,7 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
             S = ssp.csr_matrix(
                 (np.ones(int(off.sum()), np.float32),
                  (rb_[off], cb_[off])), shape=(nl // nbl, nl // nbl))
-            agg_n, n_agg_n = _aggregate(S.indptr,
+            agg_n, n_agg_n = aggf(S.indptr,
                                         S.indices.astype(np.int64),
                                         nl // nbl)
             # STALL GUARD: near-singleton aggregation densifies every
@@ -331,7 +369,7 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         else:
             S = ssp.csr_matrix((np.ones(int(keep.sum()), np.float32),
                                 (rows[keep], cols[keep])), shape=(nl, nl))
-            agg, n_agg = _aggregate(S.indptr, S.indices.astype(np.int64),
+            agg, n_agg = aggf(S.indptr, S.indices.astype(np.int64),
                                     nl)
             if n_agg * min_coarsen_ratio > nl:   # stall guard (see above)
                 break
@@ -346,14 +384,18 @@ def build_samg(indptr: np.ndarray, indices: np.ndarray, vals: np.ndarray,
         P = (P0 - omega_p * (Dinv @ (Al @ P0))).tocsr()
         Ac = (P.T @ Al @ P).tocsr()
         Ac.sum_duplicates()
-        if filter_tol > 0:
+        if filter_tol > 0 and len(sizes) >= filter_from_level:
             # Galerkin operator filtering (the PETSc-GAMG/hypre truncation
             # idea): smoothing densifies coarse operators geometrically —
             # measured 624 nnz/row at level 2 of the 857k flagship, which
             # wrecks both the next products and any gather plan.  Drop
             # |a_ij| < tol*sqrt(a_ii a_jj) off-diagonals and LUMP them
             # into the diagonal (preserves row sums, hence the action on
-            # the near-nullspace; keeps SPD at these tolerances).
+            # the near-nullspace; keeps SPD at these tolerances).  The
+            # FIRST coarse operator is kept exact (filter_from_level) and
+            # the tolerance is deliberately mild: the quality cliff is
+            # sharp (tol sweep at n=32: 0.01 -> 21 iters, 0.02 -> 197)
+            # while even 0.01 cuts the deep-level K ~10x (720 -> 72).
             dA = np.asarray(Ac.diagonal(), dtype=np.float64)
             ds = np.sqrt(np.abs(np.where(dA != 0, dA, 1.0)))
             rw = np.repeat(np.arange(Ac.shape[0], dtype=np.int64),

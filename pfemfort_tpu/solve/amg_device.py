@@ -70,48 +70,91 @@ def _xla_ell(cols, vals, n_cols, dtype) -> DeviceEll:
                      kind="xla", n_rows=int(n), n_cols=int(n_cols))
 
 
+def _plan_fits(plan, v_cap: int, plane_budget: int = 1 << 27) -> bool:
+    """Mosaic needs sub >= 8; VMEM holds sub*V*(eps+src+vals) per grid
+    step double-buffered; HBM holds the (T, V, 128) planes.  V up to 2048
+    is fine when T is small (deep rectangular transfers)."""
+    if plan is None:
+        return False
+    if plan.src.max(initial=0) >= 2 ** 31:
+        return False
+    if plan.V > v_cap and (plan.V > 2048
+                           or plan.T * plan.V * 128 * 8 > plane_budget
+                           or 8 * plan.V * 128 * 24 > 64 * (1 << 20)):
+        return False
+    return True
+
+
 def build_device_ell(cols: np.ndarray, vals: np.ndarray, n_cols: int,
                      dtype=jnp.float32, v_cap: int = 512,
                      sg_col_cap: int = 1 << 21) -> DeviceEll:
-    """Route one (n, K) padded-ELL block (sentinel col >= n_cols)."""
+    """Route one (n, K) padded-ELL block (sentinel col >= n_cols).
+
+    All value packing happens HOST-side (numpy): eager jnp staging costs
+    one remote-tunnel compile per op on the axon backend — measured
+    ~10 s per tiny block, 130+ s per hierarchy."""
     from pfemfort_tpu.sparse import hybrid as hyb
     from pfemfort_tpu.sparse import slotgather as sgm
     from pfemfort_tpu.sparse.ops import pallas_enabled
+    from pfemfort_tpu.sparse.pallas_spmv import prepare_dia_pallas_np
 
     cols = np.asarray(cols)
     vals = np.asarray(vals)
+    flat64 = vals.reshape(-1).astype(np.float64)
+    npdt = np.float32 if dtype == jnp.float32 else np.float64
     n, K = cols.shape
     if not pallas_enabled():
         return _xla_ell(cols, vals, n_cols, dtype)
     sub = 32 if n >= (1 << 19) else 8
     if n == n_cols:
-        # Adaptive extraction: deep Galerkin operators are dense-ish and
-        # weakly banded — at small n, extra DIA diagonals are nearly free
-        # (one n-float stream each) while a remainder over the V cap
-        # would fall back to the 1000x-slower scalar-core gather
-        # (measured: the 38k^2 level-2 op at 245 ms/apply ate the whole
-        # V-cycle).  Lower the fill threshold until the remainder fits;
-        # the v_cap probe aborts before allocating any oversized planes.
+        # Adaptive extraction with a cost-model pick: deep Galerkin
+        # operators are dense-ish and weakly banded — extra DIA diagonals
+        # cost one n-float stream each (~5.5 ns/Mrow) while a slot-gather
+        # virtual row costs ~25 ns/Mrow of issue time, and a remainder
+        # over the cap falls back to the 1000x-slower scalar-core gather
+        # (measured: a 38k^2 level-2 op at 245 ms/apply ate the V-cycle).
+        best = None
+        best_cost = None
         for thr, md in ((0.2, 48), (0.05, 160), (0.015, 384)):
             plan = hyb.build_hybrid_plan(cols.astype(np.int64), n,
                                          order=None, sub=sub,
                                          fill_threshold=thr, max_d=md,
-                                         sg_v_cap=v_cap)
+                                         sg_v_cap=2048)
             if plan is None or not hyb.hybrid_supported(plan):
                 continue
-            Ph = hyb.prepare_hybrid(plan)
-            dia_packed, sgv = hyb.hybrid_pack(
-                Ph, jnp.asarray(vals, dtype=dtype))
-            return DeviceEll(dia_packed=dia_packed, sg=Ph.sg, sg_vals=sgv,
+            if plan.sg is not None and not _plan_fits(plan.sg, v_cap):
+                continue
+            cost = 5.5 * plan.D + 25.0 * (plan.sg.V if plan.sg else 0)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = plan, cost
+        if best is not None:
+            plan = best
+            dia_packed = None
+            if plan.offsets:
+                m = plan.dia_src >= 0
+                dv = np.where(m, flat64[np.clip(plan.dia_src, 0, None)],
+                              0.0)
+                dia_packed = prepare_dia_pallas_np(dv, plan.offsets, n,
+                                                   dtype=npdt)
+            sg = sgv = None
+            if plan.sg is not None:
+                sg = sgm.prepare_slotgather(plan.sg)
+                m = plan.sg.src >= 0
+                sgv = jnp.asarray(np.where(
+                    m, flat64[np.clip(plan.sg.src, 0, None)],
+                    0.0).astype(npdt))
+            return DeviceEll(dia_packed=dia_packed, sg=sg, sg_vals=sgv,
                              cols=None, vals=None, kind="pallas",
                              n_rows=int(n), n_cols=int(n_cols))
     elif n_cols <= sg_col_cap:
         plan = sgm.build_slotgather_plan(cols.astype(np.int64), n,
                                          order=None, sub=sub,
-                                         n_cols=n_cols, v_cap=v_cap)
-        if plan is not None and plan.src.max(initial=0) < 2 ** 31:
+                                         n_cols=n_cols, v_cap=2048)
+        if _plan_fits(plan, v_cap):
             P = sgm.prepare_slotgather(plan)
-            sgv = sgm.pack_values(P, jnp.asarray(vals, dtype=dtype))
+            m = plan.src >= 0
+            sgv = jnp.asarray(np.where(
+                m, flat64[np.clip(plan.src, 0, None)], 0.0).astype(npdt))
             return DeviceEll(dia_packed=None, sg=P, sg_vals=sgv,
                              cols=None, vals=None, kind="pallas",
                              n_rows=int(n), n_cols=int(n_cols))
@@ -181,28 +224,41 @@ def build_samg_device(arrs: SAMGArrays, sizes: Tuple[int, ...],
                       external_fine_op: bool = False) -> SAMGDevice:
     """Route every block of a built hierarchy.  `sizes`: rows per level
     (SAMGMeta.sizes).  `external_fine_op`: skip ops[0] — the caller's own
-    (hybrid) operator smooths the fine level."""
+    (hybrid) operator smooths the fine level.
+
+    PFEMFORT_DEBUG_ROUTE=1 prints per-block routing time to stderr."""
+    import os
+    import sys as _sys
+    import time as _time
+
+    dbg = bool(os.environ.get("PFEMFORT_DEBUG_ROUTE"))
+
+    def _b(tag, cols, vals, n_cols):
+        t0 = _time.perf_counter()
+        d = build_device_ell(np.asarray(cols), np.asarray(vals),
+                             n_cols=n_cols, dtype=dtype)
+        if dbg:
+            print(f"[route] {tag} {d.n_rows}x{d.n_cols} K="
+                  f"{np.asarray(cols).shape[1]} -> {d.kind} "
+                  f"{_time.perf_counter()-t0:.1f}s",
+                  file=_sys.stderr, flush=True)
+        return d
+
     nlev = len(arrs.a_cols)
     ops = []
     for li in range(nlev):
         if li == 0 and external_fine_op:
             ops.append(None)
             continue
-        ops.append(build_device_ell(np.asarray(arrs.a_cols[li]),
-                                    np.asarray(arrs.a_vals[li]),
-                                    n_cols=int(np.asarray(
-                                        arrs.a_cols[li]).shape[0]),
-                                    dtype=dtype))
+        nl = int(np.asarray(arrs.a_cols[li]).shape[0])
+        ops.append(_b(f"op{li}", arrs.a_cols[li], arrs.a_vals[li], nl))
     p0, p0t = [], []
     for li in range(nlev - 1):
         n_f = int(np.asarray(arrs.p0_cols[li]).shape[0])
         n_c = int(np.asarray(arrs.p0t_cols[li]).shape[0])
-        p0.append(build_device_ell(np.asarray(arrs.p0_cols[li]),
-                                   np.asarray(arrs.p0_vals[li]),
-                                   n_cols=n_c, dtype=dtype))
-        p0t.append(build_device_ell(np.asarray(arrs.p0t_cols[li]),
-                                    np.asarray(arrs.p0t_vals[li]),
-                                    n_cols=n_f, dtype=dtype))
+        p0.append(_b(f"p0_{li}", arrs.p0_cols[li], arrs.p0_vals[li], n_c))
+        p0t.append(_b(f"p0t_{li}", arrs.p0t_cols[li], arrs.p0t_vals[li],
+                      n_f))
     return SAMGDevice(ops=tuple(ops), p0=tuple(p0), p0t=tuple(p0t),
                       omegas=tuple(arrs.omegas),
                       inv_diags=tuple(jnp.asarray(d, dtype=dtype)

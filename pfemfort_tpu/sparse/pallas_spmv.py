@@ -85,6 +85,15 @@ class PallasDIA:
     interpret: bool = dataclasses.field(metadata=dict(static=True))
 
 
+def _fit_block_rows(D: int, block_rows: int) -> int:
+    """Row-block size that keeps the streamed (D, rb, 128) vals block
+    within the TPU's scoped-VMEM limit (16 MB; double-buffered, so budget
+    ~4 MB per block).  D <= 128 keeps the default 256; wide extractions
+    (the AMG coarse operators pull hundreds of diagonals) shrink rb."""
+    cap = (4 * (1 << 20)) // max(D * LANES * 4, 1)
+    return max(8, min(block_rows, (cap // 8) * 8))
+
+
 def prepare_dia_pallas(A: DIAMatrix,
                        block_rows: int = 256,
                        vmem_x_rows: int = 2048,
@@ -96,7 +105,7 @@ def prepare_dia_pallas(A: DIAMatrix,
     n = A.n_rows
     w_raw = max(max(offs), -min(offs), 0)
     wrow = w_raw // LANES + 1          # halo rows each side (covers lanes)
-    rb = block_rows
+    rb = _fit_block_rows(D, block_rows)
     # chunk size: multiple of rb, x window (chunk + 2*wrow + 1 rows) in VMEM
     Rc = max(((vmem_x_rows - 2 * wrow - 1) // rb) * rb, rb)
     R = pl.cdiv(n, LANES)
@@ -110,6 +119,38 @@ def prepare_dia_pallas(A: DIAMatrix,
     return PallasDIA(vals2d=vals.reshape(D, Rpad, LANES),
                      offsets=offs, n=n, wrow=wrow, rb=rb, Rc=Rc,
                      nchunks=nchunks, interpret=interpret)
+
+
+def prepare_dia_pallas_np(vals_np, offsets, n_rows: int,
+                          block_rows: int = 256,
+                          vmem_x_rows: int = 2048,
+                          dtype=None) -> PallasDIA:
+    """Host-side (numpy) variant of `prepare_dia_pallas` for STATIC value
+    blocks (preconditioner matrices): the pad/reshape happens in numpy and
+    only the finished plane ships to the device.  Building with eager jnp
+    ops costs one remote-tunnel compile PER OP — measured ~10 s per tiny
+    preconditioner block on the axon backend."""
+    import numpy as _np
+
+    offs = tuple(int(o) for o in offsets)
+    D = len(offs)
+    n = int(n_rows)
+    w_raw = max(max(offs), -min(offs), 0)
+    wrow = w_raw // LANES + 1
+    rb = _fit_block_rows(D, block_rows)
+    Rc = max(((vmem_x_rows - 2 * wrow - 1) // rb) * rb, rb)
+    R = -(-n // LANES)
+    nchunks = -(-R // Rc)
+    Rpad = nchunks * Rc
+    npad = Rpad * LANES
+    v = _np.asarray(vals_np)
+    if dtype is not None:
+        v = v.astype(dtype)
+    if npad != n:
+        v = _np.pad(v, ((0, 0), (0, npad - n)))
+    return PallasDIA(vals2d=jnp.asarray(v.reshape(D, Rpad, LANES)),
+                     offsets=offs, n=n, wrow=wrow, rb=rb, Rc=Rc,
+                     nchunks=nchunks, interpret=False)
 
 
 def apply_dia_pallas(P: PallasDIA, x: jnp.ndarray) -> jnp.ndarray:
