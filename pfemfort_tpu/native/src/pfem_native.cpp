@@ -238,14 +238,20 @@ int pfem_gen_tet_mesh(double x0, double x1, int64_t nex, double y0, double y1,
 // (triapoissonparallelimpl1.F:814-825): dedupe the E*ns*ns element entry
 // (row, col) pairs into CSR + padded ELL, and emit the stable sorted
 // scatter permutation/segment ids the device segment-sum assembly uses.
-// An LSD radix sort (16-bit digits, skip-uniform passes) over packed
-// row*n_rows+col keys replaces numpy's unique+argsort+searchsorted —
-// ~6x faster at the 85M-entry flagship size, which is the dominant cost
-// of every unstructured solve's host setup.
+// Row-bucket counting sort over packed (col << 32 | entry) keys replaces
+// the earlier 3-pass LSD radix: ONE histogram stream over elem_dof + ONE
+// bucketed scatter + per-row local sorts (rows hold ~K entries, cache
+// resident).  On this 2-core box the radix spent 3 full scattered passes
+// over 12 B/entry; this does one pass over 8 B/entry (80 s -> ~25 s at
+// the 393M-entry 24.6M-element stage).  Entry index within the packed
+// key makes plain sort() reproduce the stable order exactly (ties in
+// (row, col) keep ascending entry order, byte-identical to numpy's
+// kind="stable" argsort of row*n+col keys).
 //
 // Entry t = (i*ns + j)*n_elem + e matches the (ns, ns, E) element-minor Ke
 // flattening (assembly/pattern.py:_entry_arrays).  Invalid entries (either
-// DOF eliminated, sentinel -1) sort last and map to segment n_rows*K.
+// DOF eliminated, sentinel -1) land in a final bucket in entry order and
+// map to segment n_rows*K.
 //
 // Outputs (caller-allocated): mat_perm[n_ent] i32, mat_segids[n_ent] i32
 // (non-decreasing), indptr[n_rows+1] i64, indices[>=nnz] i32, k_out = ELL
@@ -258,88 +264,79 @@ int64_t pfem_ell_pattern(const int32_t* elem_dof, int64_t n_elem, int32_t ns,
                          int32_t* indices, int32_t* k_out) {
   const int64_t n_ent = n_elem * (int64_t)ns * ns;
   if (n_ent >= (int64_t)INT32_MAX) return -1;
-  if (n_rows >= 3037000499LL) return -1;  // n_rows^2 must fit in 63 bits
-  const uint64_t SENT = (uint64_t)n_rows * (uint64_t)n_rows;
+  if (n_rows >= (int64_t)INT32_MAX) return -1;
 
-  std::vector<uint64_t> keys(n_ent), keys2(n_ent);
-  std::vector<uint32_t> idx(n_ent), idx2(n_ent);
-  {
-    // key build, split over (i, j) pairs across 2 threads (disjoint writes)
-    auto build = [&](int32_t p0, int32_t p1) {
-      for (int32_t p = p0; p < p1; ++p) {
-        const int32_t i = p / ns, j = p % ns;
-        uint64_t* kp = keys.data() + (int64_t)p * n_elem;
-        for (int64_t e = 0; e < n_elem; ++e) {
-          const int32_t r = elem_dof[e * ns + i];
-          const int32_t c = elem_dof[e * ns + j];
-          kp[e] = (r >= 0 && c >= 0) ? (uint64_t)r * n_rows + c : SENT;
-        }
+  // pass 1: per-row entry counts (bucket n_rows = invalid), 2 threads on
+  // disjoint (i, j) halves with private histograms
+  std::vector<int64_t> h0(n_rows + 1, 0), h1(n_rows + 1, 0);
+  auto count = [&](std::vector<int64_t>& h, int32_t p0, int32_t p1) {
+    for (int32_t p = p0; p < p1; ++p) {
+      const int32_t i = p / ns, j = p % ns;
+      for (int64_t e = 0; e < n_elem; ++e) {
+        const int32_t r = elem_dof[e * ns + i];
+        const int32_t c = elem_dof[e * ns + j];
+        h[(r >= 0 && c >= 0) ? r : n_rows]++;
       }
-    };
-    const int32_t np = ns * ns;
-    std::thread th(build, 0, np / 2);
-    build(np / 2, np);
-    th.join();
-  }
-  for (int64_t t = 0; t < n_ent; ++t) idx[t] = (uint32_t)t;
-
-  int bits = 1;
-  while ((SENT >> bits) != 0) ++bits;
-  const int RB = 16;
-  const int RSIZE = 1 << RB;
-  // 2-thread stable LSD radix: per-thread histograms on disjoint halves,
-  // interleaved bucket offsets keep thread-0 entries before thread-1's
-  std::vector<int64_t> h0(RSIZE), h1(RSIZE), o0(RSIZE), o1(RSIZE);
-  uint64_t* ka = keys.data();
-  uint64_t* kb = keys2.data();
-  uint32_t* ia = idx.data();
-  uint32_t* ib = idx2.data();
-  const int64_t half = n_ent / 2;
-  for (int shift = 0; shift < bits; shift += RB) {
-    auto histo = [&](std::vector<int64_t>& h, int64_t t0, int64_t t1) {
-      std::fill(h.begin(), h.end(), 0);
-      for (int64_t t = t0; t < t1; ++t) h[(ka[t] >> shift) & (RSIZE - 1)]++;
-    };
-    std::thread th(histo, std::ref(h0), 0, half);
-    histo(h1, half, n_ent);
-    th.join();
-    int nzb = 0;
-    for (int b = 0; b < RSIZE && nzb < 2; ++b)
-      if (h0[b] + h1[b]) ++nzb;
-    if (nzb <= 1) continue;  // uniform digit: pass is a no-op
-    int64_t sum = 0;
-    for (int b = 0; b < RSIZE; ++b) {
-      o0[b] = sum;
-      o1[b] = sum + h0[b];
-      sum += h0[b] + h1[b];
     }
-    auto scatter = [&](std::vector<int64_t>& o, int64_t t0, int64_t t1) {
-      for (int64_t t = t0; t < t1; ++t) {
-        const int64_t p = o[(ka[t] >> shift) & (RSIZE - 1)]++;
-        kb[p] = ka[t];
-        ib[p] = ia[t];
-      }
-    };
-    std::thread th2(scatter, std::ref(o0), 0, half);
-    scatter(o1, half, n_ent);
-    th2.join();
-    std::swap(ka, kb);
-    std::swap(ia, ib);
+  };
+  {
+    const int32_t np = ns * ns;
+    std::thread th(count, std::ref(h0), 0, np / 2);
+    count(h1, np / 2, np);
+    th.join();
+  }
+  std::vector<int64_t> startv(n_rows + 2);
+  startv[0] = 0;
+  for (int64_t r = 0; r <= n_rows; ++r)
+    startv[r + 1] = startv[r] + h0[r] + h1[r];
+
+  // pass 2: bucketed scatter of packed (col << 32 | t) keys, SINGLE
+  // thread (cursor array is shared; entry order within a bucket must be
+  // ascending t for stability)
+  std::vector<uint64_t> pk(n_ent);
+  std::vector<int64_t> cur(startv.begin(), startv.begin() + n_rows + 2);
+  for (int32_t p = 0; p < ns * ns; ++p) {
+    const int32_t i = p / ns, j = p % ns;
+    const int64_t tbase = (int64_t)p * n_elem;
+    for (int64_t e = 0; e < n_elem; ++e) {
+      const int32_t r = elem_dof[e * ns + i];
+      const int32_t c = elem_dof[e * ns + j];
+      const int64_t row = (r >= 0 && c >= 0) ? r : n_rows;
+      const uint32_t col = (row == n_rows) ? 0xFFFFFFFFu : (uint32_t)c;
+      pk[cur[row]++] = ((uint64_t)col << 32) | (uint32_t)(tbase + e);
+    }
   }
 
-  int64_t nvalid = n_ent;
-  while (nvalid > 0 && ka[nvalid - 1] == SENT) --nvalid;
+  // pass 3: per-row sorts (plain sort: the entry id in the low bits makes
+  // equal-(row,col) runs keep ascending entry order), 2 threads on row
+  // halves; the invalid bucket stays in entry order (all "keys" equal)
+  {
+    auto sort_rows = [&](int64_t r0, int64_t r1) {
+      for (int64_t r = r0; r < r1; ++r)
+        std::sort(pk.begin() + startv[r], pk.begin() + startv[r + 1]);
+    };
+    const int64_t rh = n_rows / 2;
+    std::thread th(sort_rows, 0, rh);
+    sort_rows(rh, n_rows);
+    th.join();
+  }
 
-  // pass 1: unique keys -> indices + per-row counts (in indptr[r+1])
+  const int64_t nvalid = startv[n_rows];
+
+  // pass 4: unique (row, col) -> indices + per-row degrees
   std::memset(indptr, 0, sizeof(int64_t) * (n_rows + 1));
   int64_t nnz = 0;
-  uint64_t prev = ~0ull;
-  for (int64_t t = 0; t < nvalid; ++t) {
-    if (ka[t] != prev) {
-      prev = ka[t];
-      const int64_t r = (int64_t)(ka[t] / (uint64_t)n_rows);
-      indptr[r + 1]++;
-      indices[nnz++] = (int32_t)(ka[t] - (uint64_t)r * n_rows);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    uint32_t prev = 0xFFFFFFFFu;
+    bool first = true;
+    for (int64_t t = startv[r]; t < startv[r + 1]; ++t) {
+      const uint32_t c = (uint32_t)(pk[t] >> 32);
+      if (first || c != prev) {
+        first = false;
+        prev = c;
+        indptr[r + 1]++;
+        indices[nnz++] = (int32_t)c;
+      }
     }
   }
   int64_t max_deg = 0;
@@ -352,29 +349,29 @@ int64_t pfem_ell_pattern(const int32_t* elem_dof, int64_t n_elem, int32_t ns,
   if (n_rows * K + 1 >= (int64_t)INT32_MAX) return -1;
   *k_out = (int32_t)K;
 
-  // pass 2: per-entry sorted segment ids (ELL-flat, monotone) + permutation
+  // pass 5: sorted segment ids (ELL-flat, monotone) + permutation
   const int32_t dropped = (int32_t)(n_rows * K);
-  prev = ~0ull;
-  int64_t r_cur = -1, within = -1;
-  int32_t flat = dropped;
-  for (int64_t t = 0; t < n_ent; ++t) {
-    if (t < nvalid) {
-      if (ka[t] != prev) {
-        prev = ka[t];
-        const int64_t r = (int64_t)(ka[t] / (uint64_t)n_rows);
-        if (r != r_cur) {
-          r_cur = r;
-          within = 0;
-        } else {
+  {
+    int64_t t = 0;
+    for (int64_t r = 0; r < n_rows; ++r) {
+      uint32_t prev = 0xFFFFFFFFu;
+      bool first = true;
+      int64_t within = -1;
+      for (int64_t q = startv[r]; q < startv[r + 1]; ++q, ++t) {
+        const uint32_t c = (uint32_t)(pk[q] >> 32);
+        if (first || c != prev) {
+          first = false;
+          prev = c;
           ++within;
         }
-        flat = (int32_t)(r * K + within);
+        mat_segids[t] = (int32_t)(r * K + within);
+        mat_perm[t] = (int32_t)(uint32_t)pk[q];
       }
-      mat_segids[t] = flat;
-    } else {
-      mat_segids[t] = dropped;
     }
-    mat_perm[t] = (int32_t)ia[t];
+    for (int64_t q = nvalid; q < n_ent; ++q, ++t) {
+      mat_segids[t] = dropped;
+      mat_perm[t] = (int32_t)(uint32_t)pk[q];
+    }
   }
   return nnz;
 }

@@ -420,6 +420,7 @@ def prepare_hybrid_local(hy_l, valsv_offsets_dims, vals_l):
     this shard's (P, K) assembled values.  hy_l = (dia_src_l, qsel_l,
     vstart_l, rsel_l, eps_l, src_l); returns (PallasDIA, sg_tuple,
     valsv)."""
+    import jax
     import jax.numpy as jnp
 
     from pfemfort_tpu.sparse.dia import DIAMatrix
@@ -437,7 +438,12 @@ def prepare_hybrid_local(hy_l, valsv_offsets_dims, vals_l):
     src_l = sg_l[4]
     valsv = (flat[jnp.clip(src_l, 0, None)]
              * (src_l >= 0).astype(vals_l.dtype))
-    return Pd, sg_l, valsv
+    # pin the packed streams as materialized loop invariants (XLA will
+    # otherwise fuse the pad/gather into the CG while_loop body)
+    v2d, valsv = jax.lax.optimization_barrier((Pd.vals2d, valsv))
+    import dataclasses as _dc
+
+    return _dc.replace(Pd, vals2d=v2d), sg_l, valsv
 
 
 def spmv_ell_halo_hybrid(Pd, sg_l, valsv_l, send_rows_l, x_l, dims,

@@ -236,7 +236,13 @@ def prepare_hybrid(plan: HybridPlan) -> PallasHybrid:
 
 def hybrid_pack(P: PallasHybrid, vals):
     """(N, K) assembled ELL values -> (PallasDIA | None, sg value stream |
-    None).  One gather per part per assembly, amortized over the solve."""
+    None).  One gather per part per assembly, amortized over the solve.
+
+    The results sit behind an optimization_barrier: callers use them
+    inside a CG while_loop, and XLA is willing to fuse the pack's
+    pad/gather into the loop body (the round-2 finding that capped the
+    DIA SpMV at ~98 GB/s) — the barrier pins the packed streams as
+    materialized loop invariants."""
     from pfemfort_tpu.sparse.dia import DIAMatrix
     from pfemfort_tpu.sparse.pallas_spmv import prepare_dia_pallas
 
@@ -249,6 +255,14 @@ def hybrid_pack(P: PallasHybrid, vals):
             vals=dia_vals, offsets=P.offsets, n_rows=P.n_rows,
             lattice=None))
     sgv = pack_values(P.sg, vals) if P.sg is not None else None
+    streams = tuple(a for a in (None if Pd is None else Pd.vals2d, sgv)
+                    if a is not None)
+    if streams:
+        parts = list(jax.lax.optimization_barrier(streams))
+        if Pd is not None:
+            Pd = dataclasses.replace(Pd, vals2d=parts.pop(0))
+        if sgv is not None:
+            sgv = parts.pop(0)
     return Pd, sgv
 
 
