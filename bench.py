@@ -35,7 +35,7 @@ PEAK_HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5": 819.0,
 # external timeout; staying inside our OWN deadline is what guarantees the
 # final JSON line is printed and every completed stage is recorded
 # (VERDICT r3 weak #1: rc=124 recorded NOTHING for the round-3 stages).
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "700"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
 _T0 = time.perf_counter()
 _PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_PARTIAL.json")
@@ -1394,8 +1394,11 @@ def main():
         ("large", 320.0, lambda: large_stage(n_large, detail)),
         ("unstructured", 220.0, lambda: unstructured_stage(max(n, 16),
                                                            detail)),
-        ("amg", 220.0, lambda: amg_stage(max(n, 16), detail)),
-        ("large_unstructured", 280.0,
+        ("amg", 240.0, lambda: amg_stage(max(n, 16), detail)),
+        # last big stage: its ~4 GB pattern-plane upload occasionally hits
+        # a multi-minute tunnel stall — when that happens only THIS stage's
+        # evidence is lost, not the stages after it
+        ("large_unstructured", 400.0,
          lambda: large_unstructured_stage(n_large_unstr, detail)),
         ("dist_spmv", 100.0, lambda: dist_spmv_stage(n, detail)),
     ]
