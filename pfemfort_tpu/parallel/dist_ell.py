@@ -30,7 +30,7 @@ solve is the existing all_gather ELL distributed CG (parallel/shard_cg.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+
 
 import numpy as np
 

@@ -11,8 +11,8 @@ SURVEY §2.6).  Here the same CG body (solve/cg.py) runs inside `shard_map`:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
+
+
 
 import jax
 import jax.numpy as jnp

@@ -38,7 +38,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pfemfort_tpu.sparse.slotgather import (
-    LANES,
     PallasSlotGather,
     SlotGatherPlan,
     apply_slotgather,
