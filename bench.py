@@ -35,7 +35,7 @@ PEAK_HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5": 819.0,
 # external timeout; staying inside our OWN deadline is what guarantees the
 # final JSON line is printed and every completed stage is recorded
 # (VERDICT r3 weak #1: rc=124 recorded NOTHING for the round-3 stages).
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1000"))
 _T0 = time.perf_counter()
 _PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_PARTIAL.json")
@@ -1336,6 +1336,51 @@ def dist_spmv_stage(n: int, detail: dict):
              f"{str(ex)[:200]}")
 
 
+def _result_line(detail: dict, nnz_per_s: float) -> str:
+    """Compact parseable result line (printed after EVERY stage: an
+    external kill then still leaves the driver a parseable LAST line —
+    round 3 lost everything to rc=124, round 4 to head-truncation)."""
+    def _stage_ok(name):
+        d = detail.get(name)
+        if not isinstance(d, dict):
+            return False
+        return "error" not in d and "skipped" not in d
+
+    def _pick(*path):
+        d = detail
+        for k in path:
+            if not isinstance(d, dict) or k not in d:
+                return None
+            d = d[k]
+        return _san(d) if isinstance(d, (int, float)) else d
+
+    summary = {
+        "spmv_pallas_gbps": _pick("spmv_pallas_gbps"),
+        "large_refined_relres": _pick("large", "refined_relres"),
+        "large_refined_total_s": _pick("large", "refined_total_s"),
+        "large_assembly_s": _pick("large", "assembly_s"),
+        "unstructured_spmv_gbps": _pick("unstructured", "spmv_ell_gbps"),
+        "amg_vs_jacobi_speedup": _pick("amg", "speedup_vs_jacobi"),
+        "lu24m_in_solve_gbps": _pick("large_unstructured",
+                                     "in_solve_gbps"),
+        "elapsed_s": round(time.perf_counter() - _T0, 1),
+    }
+    result = {
+        "metric": "spmv_nnz_per_s",
+        "value": float(nnz_per_s),
+        "unit": "nnz/s",
+        "vs_baseline": float(nnz_per_s / BASELINE_NNZ_PER_S),
+        "stages": {st: _stage_ok(st) for st in
+                   ("flagship", "partition_quality", "dist_spmv", "large",
+                    "unstructured", "amg", "large_unstructured")
+                   if st in detail or st == "flagship"},
+        "summary": {k: v for k, v in summary.items() if v is not None},
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    result["stages"]["flagship"] = "flagship_error" not in detail
+    return json.dumps(_san(result), default=float)
+
+
 def main():
     import jax
 
@@ -1384,6 +1429,7 @@ def main():
         _log(f"flagship failed: {type(ex).__name__}: {str(ex)[:300]}")
         detail["flagship_error"] = f"{type(ex).__name__}: {str(ex)[:300]}"
     _flush_partial(detail, "flagship")
+    print(_result_line(detail, nnz_per_s), flush=True)
 
     # stage order: headline evidence first (48M, unstructured hybrid, AMG
     # crossover, 24M unstructured), the dist microbench last — on budget
@@ -1423,6 +1469,10 @@ def main():
                 detail[name]["error"] = (f"{type(ex).__name__}: "
                                          f"{str(ex)[:300]}")
         _flush_partial(detail, name)
+        hl = nnz_per_s
+        if hl <= 0.0 and isinstance(detail.get("large"), dict):
+            hl = float(detail["large"].get("cg_nnz_per_s", 0.0))
+        print(_result_line(detail, hl), flush=True)
 
     if nnz_per_s <= 0.0 and isinstance(detail.get("large"), dict):
         nnz_per_s = float(detail["large"].get("cg_nnz_per_s", 0.0))
@@ -1431,8 +1481,7 @@ def main():
     detail["total_wall_s"] = time.perf_counter() - _T0
 
     # Full detail to a FILE; the stdout line stays SHORT so the driver's
-    # tail capture can parse it (VERDICT r4 weak #5: the all-in-one line
-    # was truncated from the head and `parsed` came back null).
+    # tail capture can parse it (VERDICT r4 weak #5).
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     try:
@@ -1440,44 +1489,7 @@ def main():
             json.dump(_san(detail), f, default=float, indent=1)
     except Exception as ex:
         _log(f"could not write {detail_path}: {ex}")
-
-    def _stage_ok(name):
-        d = detail.get(name)
-        if not isinstance(d, dict):
-            return False
-        return "error" not in d and "skipped" not in d
-
-    def _pick(*path):
-        d = detail
-        for k in path:
-            if not isinstance(d, dict) or k not in d:
-                return None
-            d = d[k]
-        return _san(d) if isinstance(d, (int, float)) else d
-
-    summary = {
-        "spmv_pallas_gbps": _pick("spmv_pallas_gbps"),
-        "large_refined_relres": _pick("large", "refined_relres"),
-        "large_refined_total_s": _pick("large", "refined_total_s"),
-        "large_assembly_s": _pick("large", "assembly_s"),
-        "unstructured_spmv_gbps": _pick("unstructured", "spmv_ell_gbps"),
-        "amg_vs_jacobi_speedup": _pick("amg", "speedup_vs_jacobi"),
-        "total_wall_s": round(detail["total_wall_s"], 1),
-    }
-    result = {
-        "metric": "spmv_nnz_per_s",
-        "value": float(nnz_per_s),
-        "unit": "nnz/s",
-        "vs_baseline": float(nnz_per_s / BASELINE_NNZ_PER_S),
-        "stages": {s: _stage_ok(s) for s in
-                   ("flagship", "partition_quality", "dist_spmv", "large",
-                    "unstructured", "amg", "large_unstructured")
-                   if s in detail or s == "flagship"},
-        "summary": {k: v for k, v in summary.items() if v is not None},
-        "detail_file": "BENCH_DETAIL.json",
-    }
-    result["stages"]["flagship"] = "flagship_error" not in detail
-    print(json.dumps(_san(result), default=float))
+    print(_result_line(detail, nnz_per_s))
 
 
 if __name__ == "__main__":
